@@ -1,0 +1,408 @@
+"""High-level syntax (HLS) writers: SPS / PPS / picture header / slice
+header, NAL assembly.
+
+Behavioral parity: vtm-mlt-cpp/source/Lib/EncoderLib/VLCWriter.cpp —
+codeSPS (:795), codePPS (:264), codePictureHeader (:1562),
+codeSliceHeader (:2138), codeProfileTierLevel (:2671), dpb_parameters,
+codeConstraintInfo; NAL types TypeDef.h:776-810.
+
+The `SeqConfig` dataclass is the single source of truth for coding-tool
+enablement; both the HLS writers and the CTU/residual syntax writers read
+it (mirror of the reference's EncCfg ~1000-getter surface, reduced to the
+fields that change bits).
+
+Writers raise on combinations not yet supported instead of silently
+emitting wrong bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..utils.bitstream import BitWriter, nal_unit, annexb
+
+# NAL unit types (spec Table 5; TypeDef.h:776-810)
+NAL_TRAIL = 0
+NAL_IDR_W_RADL = 7
+NAL_IDR_N_LP = 8
+NAL_CRA = 9
+NAL_VPS = 14
+NAL_SPS = 15
+NAL_PPS = 16
+NAL_PH = 19
+
+B_SLICE, P_SLICE, I_SLICE = 0, 1, 2
+
+CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444 = 0, 1, 2, 3
+
+
+@dataclasses.dataclass
+class SeqConfig:
+    """Sequence-level configuration (SPS+PPS surface)."""
+
+    width: int = 64
+    height: int = 64
+    bit_depth: int = 10
+    chroma_format: int = CHROMA_420
+    ctu_size: int = 128
+    log2_min_cu: int = 2
+    # partition limits (CTC defaults, encoder_randomaccess_vtm.cfg)
+    min_qt_intra: int = 8
+    min_qt_inter: int = 8
+    max_mtt_depth_intra: int = 0
+    max_mtt_depth_inter: int = 0
+    max_bt_intra: int = 32
+    max_bt_inter: int = 128
+    max_tt_intra: int = 32
+    max_tt_inter: int = 64
+    dual_tree_intra: bool = False
+    log2_max_tb: int = 6          # 64 max transform
+    # tools (all default off for the MVP; flip on as implemented)
+    transform_skip: bool = False
+    mts_intra: bool = False
+    mts_inter: bool = False
+    lfnst: bool = False
+    sao: bool = False
+    alf: bool = False
+    ccalf: bool = False
+    lmcs: bool = False
+    joint_cbcr: bool = False
+    dep_quant: bool = False
+    sign_data_hiding: bool = False
+    sbt: bool = False
+    isp: bool = False
+    mrl: bool = False
+    mip: bool = False
+    cclm: bool = False
+    ibc: bool = False
+    palette: bool = False
+    # inter tools
+    temporal_mvp: bool = False
+    sbtmvp: bool = False
+    amvr: bool = False
+    bdof: bool = False
+    smvd: bool = False
+    dmvr: bool = False
+    mmvd: bool = False
+    affine: bool = False
+    affine_type: bool = False
+    prof: bool = False
+    bcw: bool = False
+    ciip: bool = False
+    geo: bool = False
+    max_merge_cand: int = 6
+    max_affine_merge_cand: int = 5
+    # misc
+    log2_max_poc_lsb: int = 8
+    qp: int = 32                  # pps_init_qp
+    deblocking: bool = False      # deblocking filter on/off
+    wpp: bool = False             # entropy_coding_sync
+    num_reorder_pics: int = 0
+    max_dec_pic_buffering: int = 2
+    level_idc: int = 102          # 6.2
+    profile_idc: int = 1          # Main 10
+
+    @property
+    def log2_ctu(self) -> int:
+        return self.ctu_size.bit_length() - 1
+
+    @property
+    def chroma_enabled(self) -> bool:
+        return self.chroma_format != CHROMA_400
+
+    @property
+    def pic_width_in_ctus(self) -> int:
+        return (self.width + self.ctu_size - 1) // self.ctu_size
+
+    @property
+    def pic_height_in_ctus(self) -> int:
+        return (self.height + self.ctu_size - 1) // self.ctu_size
+
+
+def _write_profile_tier_level(w: BitWriter, cfg: SeqConfig):
+    """codeProfileTierLevel (VLCWriter.cpp:2671), profileTierPresent=1,
+    maxNumSubLayersMinus1=0, gci_present_flag=0."""
+    w.write(cfg.profile_idc, 7)         # general_profile_idc
+    w.write_flag(0)                     # general_tier_flag (MAIN)
+    w.write(cfg.level_idc, 8)           # general_level_idc
+    w.write_flag(1)                     # ptl_frame_only_constraint_flag
+    w.write_flag(0)                     # ptl_multilayer_enabled_flag
+    # general_constraint_info: gci_present_flag=0 then byte-align
+    w.write_flag(0)                     # gci_present_flag
+    while w.num_bits % 8:
+        w.write_flag(0)                 # gci_alignment_zero_bit
+    # no sub-layers -> no sub_layer_level_present flags; already aligned
+    w.write(0, 8)                       # ptl_num_sub_profiles
+
+
+def write_sps(cfg: SeqConfig) -> bytes:
+    """codeSPS parity (VLCWriter.cpp:795) for the supported tool subset."""
+    w = BitWriter()
+    w.write(0, 4)                       # sps_seq_parameter_set_id
+    w.write(0, 4)                       # sps_video_parameter_set_id
+    w.write(0, 3)                       # sps_max_sub_layers_minus1
+    w.write(cfg.chroma_format, 2)       # sps_chroma_format_idc
+    w.write(cfg.log2_ctu - 5, 2)        # sps_log2_ctu_size_minus5
+    w.write_flag(1)                     # sps_ptl_dpb_hrd_params_present_flag
+    _write_profile_tier_level(w, cfg)
+    w.write_flag(0)                     # sps_gdr_enabled_flag
+    w.write_flag(0)                     # sps_ref_pic_resampling_enabled_flag
+    w.write_uvlc(cfg.width)             # sps_pic_width_max_in_luma_samples
+    w.write_uvlc(cfg.height)            # sps_pic_height_max_in_luma_samples
+    w.write_flag(0)                     # sps_conformance_window_flag
+    w.write_flag(0)                     # sps_subpic_info_present_flag
+    w.write_uvlc(cfg.bit_depth - 8)     # sps_bitdepth_minus8
+    w.write_flag(1 if cfg.wpp else 0)   # sps_entropy_coding_sync_enabled_flag
+    w.write_flag(0)                     # sps_entry_point_offsets_present_flag
+    w.write(cfg.log2_max_poc_lsb - 4, 4)  # sps_log2_max_pic_order_cnt_lsb_minus4
+    w.write_flag(0)                     # sps_poc_msb_cycle_flag
+    w.write(0, 2)                       # sps_num_extra_ph_bytes
+    w.write(0, 2)                       # sps_num_extra_sh_bytes
+    # dpb_parameters (single sublayer)
+    w.write_uvlc(cfg.max_dec_pic_buffering - 1)  # dpb_max_dec_pic_buffering_minus1
+    w.write_uvlc(cfg.num_reorder_pics)  # dpb_max_num_reorder_pics
+    w.write_uvlc(0)                     # dpb_max_latency_increase_plus1
+    w.write_uvlc(cfg.log2_min_cu - 2)   # sps_log2_min_luma_coding_block_size_minus2
+    w.write_flag(0)                     # sps_partition_constraints_override_enabled_flag
+    log2_min_qt_i = cfg.min_qt_intra.bit_length() - 1
+    log2_min_qt_b = cfg.min_qt_inter.bit_length() - 1
+    w.write_uvlc(log2_min_qt_i - cfg.log2_min_cu)  # sps_log2_diff_min_qt_min_cb_intra_slice_luma
+    w.write_uvlc(cfg.max_mtt_depth_intra)  # sps_max_mtt_hierarchy_depth_intra_slice_luma
+    if cfg.max_mtt_depth_intra:
+        w.write_uvlc(cfg.max_bt_intra.bit_length() - 1 - log2_min_qt_i)
+        w.write_uvlc(cfg.max_tt_intra.bit_length() - 1 - log2_min_qt_i)
+    if cfg.chroma_enabled:
+        w.write_flag(1 if cfg.dual_tree_intra else 0)  # sps_qtbtt_dual_tree_intra_flag
+    if cfg.dual_tree_intra:
+        raise NotImplementedError("dual tree chroma partition signalling")
+    w.write_uvlc(log2_min_qt_b - cfg.log2_min_cu)  # sps_log2_diff_min_qt_min_cb_inter_slice
+    w.write_uvlc(cfg.max_mtt_depth_inter)  # sps_max_mtt_hierarchy_depth_inter_slice
+    if cfg.max_mtt_depth_inter:
+        w.write_uvlc(cfg.max_bt_inter.bit_length() - 1 - log2_min_qt_b)
+        w.write_uvlc(cfg.max_tt_inter.bit_length() - 1 - log2_min_qt_b)
+    if cfg.ctu_size > 32:
+        w.write_flag(1 if cfg.log2_max_tb == 6 else 0)  # sps_max_luma_transform_size_64_flag
+    w.write_flag(1 if cfg.transform_skip else 0)
+    if cfg.transform_skip:
+        w.write_uvlc(0)                 # sps_log2_transform_skip_max_size_minus2
+        w.write_flag(0)                 # sps_bdpcm_enabled_flag
+    w.write_flag(1 if (cfg.mts_intra or cfg.mts_inter) else 0)  # sps_mts_enabled_flag
+    if cfg.mts_intra or cfg.mts_inter:
+        w.write_flag(1 if cfg.mts_intra else 0)
+        w.write_flag(1 if cfg.mts_inter else 0)
+    w.write_flag(1 if cfg.lfnst else 0)
+    if cfg.chroma_enabled:
+        w.write_flag(1 if cfg.joint_cbcr else 0)  # sps_joint_cbcr_enabled_flag
+        w.write_flag(1)                 # sps_same_qp_table_for_chroma_flag
+        # single default chroma QP table: identity-ish 1-point table
+        w.write_svlc(0)                 # sps_qp_table_starts_minus26
+        w.write_uvlc(0)                 # sps_num_points_in_qp_table_minus1
+        w.write_uvlc(0)                 # sps_delta_qp_in_val_minus1
+        w.write_uvlc(0 ^ 0)             # sps_delta_qp_diff_val
+    w.write_flag(1 if cfg.sao else 0)
+    w.write_flag(1 if cfg.alf else 0)
+    if cfg.alf and cfg.chroma_enabled:
+        w.write_flag(1 if cfg.ccalf else 0)
+    w.write_flag(1 if cfg.lmcs else 0)
+    w.write_flag(0)                     # sps_weighted_pred_flag
+    w.write_flag(0)                     # sps_weighted_bipred_flag
+    w.write_flag(0)                     # sps_long_term_ref_pics_flag
+    w.write_flag(0)                     # sps_idr_rpl_present_flag
+    w.write_flag(0)                     # sps_rpl1_same_as_rpl0_flag
+    w.write_uvlc(0)                     # sps_num_ref_pic_lists[0]
+    w.write_uvlc(0)                     # sps_num_ref_pic_lists[1]
+    w.write_flag(0)                     # sps_ref_wraparound_enabled_flag
+    w.write_flag(1 if cfg.temporal_mvp else 0)
+    if cfg.temporal_mvp:
+        w.write_flag(1 if cfg.sbtmvp else 0)
+    w.write_flag(1 if cfg.amvr else 0)
+    w.write_flag(1 if cfg.bdof else 0)
+    if cfg.bdof:
+        w.write_flag(0)                 # sps_bdof_control_present_in_ph_flag
+    w.write_flag(1 if cfg.smvd else 0)
+    w.write_flag(1 if cfg.dmvr else 0)
+    if cfg.dmvr:
+        w.write_flag(0)                 # sps_dmvr_control_present_in_ph_flag
+    w.write_flag(1 if cfg.mmvd else 0)
+    if cfg.mmvd:
+        w.write_flag(0)                 # sps_mmvd_fullpel_only_flag
+    w.write_uvlc(6 - cfg.max_merge_cand)  # sps_six_minus_max_num_merge_cand
+    w.write_flag(1 if cfg.sbt else 0)
+    w.write_flag(1 if cfg.affine else 0)
+    if cfg.affine:
+        w.write_uvlc(5 - cfg.max_affine_merge_cand)
+        w.write_flag(1 if cfg.affine_type else 0)
+        if cfg.amvr:
+            w.write_flag(0)             # sps_affine_amvr_enabled_flag
+        w.write_flag(1 if cfg.prof else 0)
+        if cfg.prof:
+            w.write_flag(0)             # sps_prof_control_present_in_ph_flag
+    w.write_flag(1 if cfg.bcw else 0)
+    w.write_flag(1 if cfg.ciip else 0)
+    if cfg.max_merge_cand >= 2:
+        w.write_flag(1 if cfg.geo else 0)
+        if cfg.geo and cfg.max_merge_cand >= 3:
+            w.write_uvlc(cfg.max_merge_cand - 2)  # minus_max_num_gpm_cand (gpm=2)
+    w.write_uvlc(0)                     # sps_log2_parallel_merge_level_minus2
+    w.write_flag(1 if cfg.isp else 0)
+    w.write_flag(1 if cfg.mrl else 0)
+    w.write_flag(1 if cfg.mip else 0)
+    if cfg.chroma_enabled:
+        w.write_flag(1 if cfg.cclm else 0)
+    if cfg.chroma_format == CHROMA_420:
+        w.write_flag(1)                 # sps_chroma_horizontal_collocated_flag
+        w.write_flag(0)                 # sps_chroma_vertical_collocated_flag
+    w.write_flag(1 if cfg.palette else 0)
+    if cfg.transform_skip or cfg.palette:
+        w.write_uvlc(0)                 # sps_internal_bit_depth_minus_input_bit_depth
+    w.write_flag(1 if cfg.ibc else 0)
+    if cfg.ibc:
+        w.write_uvlc(0)                 # sps_six_minus_max_num_ibc_merge_cand
+    w.write_flag(0)                     # sps_ladf_enabled_flag
+    w.write_flag(0)                     # sps_explicit_scaling_list_enabled_flag
+    w.write_flag(1 if cfg.dep_quant else 0)
+    w.write_flag(1 if cfg.sign_data_hiding else 0)
+    w.write_flag(0)                     # sps_virtual_boundaries_enabled_flag
+    w.write_flag(0)                     # sps_timing_hrd_params_present_flag
+    w.write_flag(0)                     # sps_field_seq_flag
+    w.write_flag(0)                     # sps_vui_parameters_present_flag
+    w.write_flag(0)                     # sps_extension_present_flag
+    w.write_byte_alignment()            # rbsp_trailing_bits
+    return w.get_bytes()
+
+
+def write_pps(cfg: SeqConfig) -> bytes:
+    """codePPS parity (VLCWriter.cpp:264): one tile, one slice."""
+    w = BitWriter()
+    w.write(0, 6)                       # pps_pic_parameter_set_id
+    w.write(0, 4)                       # pps_seq_parameter_set_id
+    w.write_flag(0)                     # pps_mixed_nalu_types_in_pic_flag
+    w.write_uvlc(cfg.width)             # pps_pic_width_in_luma_samples
+    w.write_uvlc(cfg.height)            # pps_pic_height_in_luma_samples
+    w.write_flag(0)                     # pps_conformance_window_flag
+    w.write_flag(0)                     # pps_scaling_window_explicit_signalling_flag
+    w.write_flag(0)                     # pps_output_flag_present_flag
+    w.write_flag(1)                     # pps_no_pic_partition_flag
+    w.write_flag(0)                     # pps_subpic_id_mapping_present_flag
+    w.write_flag(0)                     # pps_cabac_init_present_flag
+    w.write_uvlc(0)                     # pps_num_ref_idx_default_active_minus1[0]
+    w.write_uvlc(0)                     # pps_num_ref_idx_default_active_minus1[1]
+    w.write_flag(0)                     # pps_rpl1_idx_present_flag
+    w.write_flag(0)                     # pps_weighted_pred_flag
+    w.write_flag(0)                     # pps_weighted_bipred_flag
+    w.write_flag(0)                     # pps_ref_wraparound_enabled_flag
+    w.write_svlc(cfg.qp - 26)           # pps_init_qp_minus26
+    w.write_flag(0)                     # pps_cu_qp_delta_enabled_flag
+    w.write_flag(1 if cfg.chroma_enabled else 0)  # pps_chroma_tool_offsets_present_flag
+    if cfg.chroma_enabled:
+        w.write_svlc(0)                 # pps_cb_qp_offset
+        w.write_svlc(0)                 # pps_cr_qp_offset
+        w.write_flag(0)                 # pps_joint_cbcr_qp_offset_present_flag
+        w.write_flag(0)                 # pps_slice_chroma_qp_offsets_present_flag
+        w.write_flag(0)                 # pps_cu_chroma_qp_offset_list_enabled_flag
+    # deblocking: control present so we can disable it entirely
+    w.write_flag(1)                     # pps_deblocking_filter_control_present_flag
+    w.write_flag(0)                     # pps_deblocking_filter_override_enabled_flag
+    w.write_flag(0 if cfg.deblocking else 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblocking:
+        w.write_svlc(0)                 # pps_beta_offset_div2
+        w.write_svlc(0)                 # pps_tc_offset_div2
+        if cfg.chroma_enabled:
+            w.write_svlc(0)             # pps_cb_beta_offset_div2
+            w.write_svlc(0)             # pps_cb_tc_offset_div2
+            w.write_svlc(0)             # pps_cr_beta_offset_div2
+            w.write_svlc(0)             # pps_cr_tc_offset_div2
+    # no_pic_partition=1 -> no pps_*_info_in_ph flags
+    w.write_flag(0)                     # pps_picture_header_extension_present_flag
+    w.write_flag(0)                     # pps_slice_header_extension_present_flag
+    w.write_flag(0)                     # pps_extension_flag
+    w.write_byte_alignment()
+    return w.get_bytes()
+
+
+@dataclasses.dataclass
+class PicConfig:
+    """Per-picture state."""
+    poc: int = 0
+    slice_type: int = I_SLICE
+    nal_type: int = NAL_IDR_N_LP
+    qp: Optional[int] = None     # slice QP; default = cfg.qp
+    is_irap: bool = True
+    temporal_id: int = 0
+
+
+def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
+    """codePictureHeader parity (VLCWriter.cpp:1562) for the supported
+    subset; written into the slice header (sh_picture_header_in_slice
+    _header_flag=1), so no rbsp trailing here."""
+    intra_only = pic.slice_type == I_SLICE
+    w.write_flag(1 if pic.is_irap else 0)   # ph_gdr_or_irap_pic_flag
+    w.write_flag(0)                     # ph_non_ref_pic_flag
+    if pic.is_irap:
+        w.write_flag(0)                 # ph_gdr_pic_flag
+    w.write_flag(0 if intra_only else 1)  # ph_inter_slice_allowed_flag
+    if not intra_only:
+        w.write_flag(0)                 # ph_intra_slice_allowed_flag
+    w.write_uvlc(0)                     # ph_pic_parameter_set_id
+    w.write(pic.poc & ((1 << cfg.log2_max_poc_lsb) - 1),
+            cfg.log2_max_poc_lsb)       # ph_pic_order_cnt_lsb
+    # ALF off, LMCS off, scaling lists off, virtual boundaries off,
+    # output flag not present, rpl not in ph (no_pic_partition)
+    if intra_only:
+        pass                            # pps_cu_qp_delta off -> nothing
+    else:
+        if cfg.temporal_mvp:
+            w.write_flag(1)             # ph_temporal_mvp_enabled_flag
+        # rpl in SH; mvd_l1_zero written when rpl not in ph
+        w.write_flag(0)                 # ph_mvd_l1_zero_flag
+    # joint cbcr sign flag
+    if cfg.joint_cbcr:
+        w.write_flag(0)                 # ph_joint_cbcr_sign_flag
+    # sao in SH, deblocking override off -> nothing more
+
+
+def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
+    """codeSliceHeader parity (VLCWriter.cpp:2138); PH in SH; returns the
+    writer WITHOUT trailing bits (CABAC payload is appended after
+    byte-alignment by the caller)."""
+    w = BitWriter()
+    w.write_flag(1)                     # sh_picture_header_in_slice_header_flag
+    write_picture_header(w, cfg, pic)
+    intra_only = pic.slice_type == I_SLICE
+    if not intra_only:
+        w.write_uvlc(pic.slice_type)    # sh_slice_type
+    if pic.nal_type in (NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL):
+        w.write_flag(0)                 # sh_no_output_of_prior_pics_flag
+    if not intra_only:
+        raise NotImplementedError("inter slice header RPL signalling")
+    # numRefIdx inferred 0; no cabac_init (pps flag 0); no TMVP for intra
+    # qp delta (pps_qp_delta_info_in_ph off)
+    qp = pic.qp if pic.qp is not None else cfg.qp
+    w.write_svlc(qp - cfg.qp)           # sh_qp_delta
+    # sao off, deblocking control: override disabled -> nothing
+    # dep quant / sign hiding / ts residual coding: sps off -> nothing
+    return w
+
+
+def slice_nal(cfg: SeqConfig, pic: PicConfig, cabac_payload: bytes,
+              tail_bits) -> bytes:
+    """Assemble the slice-layer RBSP: slice header + byte alignment +
+    CABAC payload (+ engine tail bits) + rbsp trailing."""
+    w = write_slice_header(cfg, pic)
+    w.write_byte_alignment()            # sh byte_alignment: stop bit + zeros
+    w.append_bytes(cabac_payload)
+    val, nbits = tail_bits
+    if nbits:
+        w.write(val, nbits)
+    w.write_byte_alignment()            # rbsp_slice_trailing_bits
+    return nal_unit(w.get_bytes(), pic.nal_type, temporal_id=pic.temporal_id)
+
+
+def bitstream_for_frames(cfg: SeqConfig, frames: list) -> bytes:
+    """frames: list of (PicConfig, cabac_payload, tail_bits)."""
+    nals = [nal_unit(write_sps(cfg), NAL_SPS),
+            nal_unit(write_pps(cfg), NAL_PPS)]
+    for pic, payload, tail in frames:
+        nals.append(slice_nal(cfg, pic, payload, tail))
+    return annexb(nals)

@@ -33,9 +33,21 @@ def trans_matrix(kind: str, size: int) -> np.ndarray:
 
 
 def scan_diag(w: int, h: int) -> np.ndarray:
-    """Up-right-diagonal grouped-4x4 scan order, [n, 2] (x, y) pairs
+    """Up-right-diagonal CG-grouped scan order, [n, 2] (x, y) pairs
     (spec §6.5.2; VTM g_scanOrder[SCAN_GROUPED_4x4][SCAN_DIAG])."""
     return _tables()[f"SCAN_DIAG_{w}x{h}"]
+
+
+def scan_diag_ungrouped(w: int, h: int) -> np.ndarray:
+    """Plain up-right-diagonal scan (VTM SCAN_UNGROUPED; used for the
+    CG-grid scan in residual coding)."""
+    return _tables()[f"SCAN_DIAG_UNGROUPED_{w}x{h}"]
+
+
+def log2_sbb_size(log2w: int, log2h: int):
+    """Coefficient sub-block (CG) log2 dims (VTM g_log2SbbSize)."""
+    t = _tables()["LOG2_SBB_SIZE"]
+    return int(t[log2w][log2h][0]), int(t[log2w][log2h][1])
 
 
 def quant_scales() -> np.ndarray:

@@ -190,28 +190,47 @@ def _reference_tables():
 # ---------------------------------------------------------------------------
 # Scan orders (ISO/IEC 23090-3 §6.5.2 up-right diagonal scan), group scans.
 
+# Coefficient-group (sub-block) log2 sizes per (log2w, log2h)
+# (normative; VTM g_log2SbbSize Rom.cpp:267-279).
+LOG2_SBB_SIZE = [
+    [(0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 4), (0, 4), (0, 4)],
+    [(1, 0), (1, 1), (1, 1), (1, 3), (1, 3), (1, 3), (1, 3), (1, 3)],
+    [(2, 0), (1, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    [(3, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+]
+
+
+def diag_positions(w, h):
+    """Plain up-right diagonal scan positions (from bottom-left of each
+    anti-diagonal towards top-right)."""
+    pos = []
+    for d in range(w + h - 1):
+        for y in range(min(d, h - 1), -1, -1):
+            x = d - y
+            if x < w:
+                pos.append((x, y))
+    return pos
+
+
 def diag_scan(blk_w: int, blk_h: int) -> np.ndarray:
-    """Up-right diagonal scan order over a blk_w x blk_h block, in 4x4
-    coefficient groups (CGs): CGs are visited diagonally, and positions
-    inside each CG diagonally. Returns [num][2] (x, y) in scan order.
+    """Grouped up-right diagonal scan order (CG-grouped): CGs visited
+    diagonally, positions inside each CG diagonally. CG geometry follows
+    the normative sub-block size table. Returns [num][2] (x, y).
 
-    Matches VTM g_scanOrder[SCAN_GROUPED_4x4][SCAN_DIAG] construction
-    (Rom.cpp initROM / ScanGenerator) — algorithmic, re-derived from the
-    spec's 6.5.2 process.
+    Matches VTM g_scanOrder[SCAN_GROUPED_4x4][SCAN_DIAG] (Rom.cpp
+    initROM / ScanGenerator; spec §6.5.2).
     """
-    def diag_positions(w, h):
-        pos = []
-        for d in range(w + h - 1):
-            # up-right diagonal: start at (0, d) going up-right
-            for y in range(min(d, h - 1), -1, -1):
-                x = d - y
-                if x < w:
-                    pos.append((x, y))
-        return pos
-
-    gw = min(4, blk_w)
-    gh = min(4, blk_h)
-    ngx, ngy = blk_w // gw, blk_h // gh
+    lw, lh = blk_w.bit_length() - 1, blk_h.bit_length() - 1
+    lgw, lgh = LOG2_SBB_SIZE[lw][lh]
+    gw, gh = 1 << lgw, 1 << lgh
+    # the grouped scan covers only the zero-out region for >32 dims
+    # (Rom.cpp:342-343 widthInGroups/heightInGroups min'd with the
+    # JVET_C0024 threshold; positions beyond are filler in VTM)
+    ngx, ngy = min(32, blk_w) // gw, min(32, blk_h) // gh
     order = []
     for (gx, gy) in diag_positions(ngx, ngy):
         for (x, y) in diag_positions(gw, gh):
@@ -255,12 +274,15 @@ def main():
     arrays = {f"{kind}_{N}": mat.astype(np.int32)
               for (kind, N), mat in gen.items()}
 
-    # scan orders for all block shapes 1x1..32x32 (log2 sizes 0..5) used by
-    # residual coding; store per (log2w, log2h)
-    for lw in range(6):
-        for lh in range(6):
+    # scan orders for all block shapes 1x1..64x64 used by residual coding:
+    # grouped (coefficient scan) and ungrouped (CG scan over group grids)
+    for lw in range(7):
+        for lh in range(7):
             w, h = 1 << lw, 1 << lh
             arrays[f"SCAN_DIAG_{w}x{h}"] = diag_scan(w, h)
+            arrays[f"SCAN_DIAG_UNGROUPED_{w}x{h}"] = np.asarray(
+                diag_positions(w, h), np.int32).reshape(-1, 2)
+    arrays["LOG2_SBB_SIZE"] = np.asarray(LOG2_SBB_SIZE, np.int32)
 
     arrays["QUANT_SCALES"] = QUANT_SCALES
     arrays["INV_QUANT_SCALES"] = INV_QUANT_SCALES
