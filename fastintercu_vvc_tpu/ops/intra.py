@@ -1,10 +1,11 @@
-"""Intra prediction (normative, spec §8.4.5.2) — planar / DC / angular,
-PDPC, reference-sample construction + smoothing.
+"""Intra prediction (normative, spec §8.4.5.2) — all 67 modes + wide
+angle, PDPC, reference-sample construction + smoothing, MPM derivation.
 
 Behavioral parity: vtm-mlt-cpp/source/Lib/CommonLib/IntraPrediction.cpp —
-xFillReferenceSamples (:~880), xFilterReferenceSamples, xPredIntraPlanar
-(:292), xPredIntraDc (:350), predIntraAng PDPC (:243-265),
-initPredIntraParams (:357).
+xFillReferenceSamples, xFilterReferenceSamples, xPredIntraPlanar (:292),
+xPredIntraDc (:350), xPredIntraAng (:~460), predIntraAng PDPC (:243),
+initPredIntraParams (:357), getModifiedWideAngle (:183), MDIS table
+m_aucIntraFilter (:58); UnitTools.cpp PU::getIntraMPMs, PU::getWideAngle.
 
 Integer-exact numpy implementation used by the sequential recon path;
 the batched JAX variant for RDO mode search evaluates many blocks of one
@@ -24,9 +25,10 @@ DC_IDX = 1
 HOR_IDX = 18
 DIA_IDX = 34
 VER_IDX = 50
+VDIA_IDX = 66
 NUM_LUMA_MODE = 67
 
-# intraPredAngle table (spec Table 27 / VTM initPredIntraParams angTable)
+# intraPredAngle / invAngle tables (spec Table 27; initPredIntraParams)
 ANG_TABLE = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32,
              35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512,
              1024]
@@ -34,24 +36,91 @@ INV_ANG_TABLE = [0, 16384, 8192, 5461, 4096, 2731, 2048, 1638, 1365, 1170,
                  1024, 910, 819, 712, 630, 565, 512, 468, 420, 364, 321,
                  287, 256, 224, 191, 161, 128, 96, 64, 48, 32, 16]
 
+# MDIS thresholds per log2 size (m_aucIntraFilter)
+INTRA_FILTER_THRES = [24, 24, 24, 14, 2, 0, 0, 0]
+
+# 4-tap 32-phase chroma MC filter (spec Table 33; InterpolationFilter.cpp
+# m_chromaFilter) — also the "cubic" DCT-IF filter for luma intra interp.
+CHROMA_FILTER = np.asarray([
+    [0, 64, 0, 0], [-1, 63, 2, 0], [-2, 62, 4, 0], [-2, 60, 7, -1],
+    [-2, 58, 10, -2], [-3, 57, 12, -2], [-4, 56, 14, -2], [-4, 55, 15, -2],
+    [-4, 54, 16, -2], [-5, 53, 18, -2], [-6, 52, 20, -2], [-6, 49, 24, -3],
+    [-6, 46, 28, -4], [-5, 44, 29, -4], [-4, 42, 30, -4], [-4, 39, 33, -4],
+    [-4, 36, 36, -4], [-4, 33, 39, -4], [-4, 30, 42, -4], [-4, 29, 44, -5],
+    [-4, 28, 46, -6], [-3, 24, 49, -6], [-2, 20, 52, -6], [-2, 18, 53, -5],
+    [-2, 16, 54, -4], [-2, 15, 55, -4], [-2, 14, 56, -4], [-2, 12, 57, -3],
+    [-2, 10, 58, -2], [-1, 7, 60, -2], [0, 4, 62, -2], [0, 2, 63, -1]],
+    np.int32)
+
+
+def modified_wide_angle(w: int, h: int, mode: int) -> int:
+    """getModifiedWideAngle parity: returns the (possibly out-of-range)
+    prediction mode used to derive intraPredAngle."""
+    if DC_IDX < mode <= VDIA_IDX:
+        mode_shift = [0, 6, 10, 12, 14, 15]
+        delta = abs((w.bit_length() - 1) - (h.bit_length() - 1))
+        if w > h and mode < 2 + mode_shift[delta]:
+            mode += VDIA_IDX - 1
+        elif h > w and mode > VDIA_IDX - mode_shift[delta]:
+            mode -= VDIA_IDX - 1
+    return mode
+
+
+def _angle_params(pred_mode: int):
+    """-> (is_ver, intra_pred_angle, abs_inv_angle)."""
+    is_ver = pred_mode >= DIA_IDX
+    ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
+    sign = -1 if ang_mode < 0 else 1
+    abs_ang = ANG_TABLE[abs(ang_mode)]
+    return is_ver, sign * abs_ang, INV_ANG_TABLE[abs(ang_mode)]
+
+
+def is_integer_slope(abs_ang: int) -> bool:
+    return (abs_ang & 31) == 0
+
+
+def pred_params(mode: int, w: int, h: int):
+    """initPredIntraParams parity for luma, refIdx 0, no ISP/MIP/BDPCM.
+
+    -> dict(refFilter, interpFilter, applyPDPC, angularScale, predMode)
+    """
+    pred_mode = modified_wide_angle(w, h, mode)
+    apply_pdpc = w >= 4 and h >= 4
+    ref_filter = False
+    interp_filter = False
+    angular_scale = 0
+    if mode > DC_IDX:
+        is_ver, ang, inv_ang = _angle_params(pred_mode)
+        ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
+        if ang_mode < 0:
+            apply_pdpc = False
+        elif ang_mode > 0:
+            side = h if is_ver else w
+            angular_scale = min(
+                2, (side.bit_length() - 1)
+                - (((3 * inv_ang - 2).bit_length() - 1) - 8))
+            apply_pdpc = apply_pdpc and angular_scale >= 0
+        if mode != DC_IDX:
+            diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
+            log2_size = (((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1)
+            if diff > INTRA_FILTER_THRES[log2_size]:
+                if is_integer_slope(abs(ang)):
+                    ref_filter = True
+                else:
+                    interp_filter = True
+    elif mode == PLANAR_IDX:
+        ref_filter = w * h > 32
+    return dict(refFilter=ref_filter, interpFilter=interp_filter,
+                applyPDPC=apply_pdpc, angularScale=angular_scale,
+                predMode=pred_mode)
+
 
 def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
                bit_depth: int = 10, avail_mask=None):
     """Construct unfiltered reference arrays (top[2W+1], left[2H+1]) for a
-    block at (x, y) from the reconstructed picture.
-
-    avail_mask(bx, by) -> bool tells whether the 4x4 unit containing
-    sample (bx, by) is available (already reconstructed & inside the
-    slice). Default: available iff inside the picture and (by < y) or
-    (by in row range and bx < x) — raster coding order.
-
-    Parity: xFillReferenceSamples incl. the unavailable-substitution scan
-    (fill from last below-left upward/rightward; all-unavailable -> DC).
-    """
+    block at (x, y) from the reconstructed picture (xFillReferenceSamples
+    parity incl. the unavailable-substitution scan)."""
     H, W = recon.shape
-    ref_size_top = 2 * w
-    ref_size_left = 2 * h
-    unit = 4
 
     if avail_mask is None:
         def avail_mask(bx, by):
@@ -60,36 +129,25 @@ def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
             if by < y:
                 return True
             if by < y + h and bx < x:
-                # left column units: available down to the CU bottom only
                 return True
             return False
 
-    # gather candidate samples with availability per unit
-    # positions: left column bottom-up then corner then top row l-to-r
-    # (the spec's substitution scan order)
-    n_left_units = (ref_size_left + unit - 1) // unit
-    n_top_units = (ref_size_top + unit - 1) // unit
-
-    # sample positions
+    ref_size_top = 2 * w
+    ref_size_left = 2 * h
     top_pos = [(x - 1 + i, y - 1) for i in range(ref_size_top + 1)]
     left_pos = [(x - 1, y - 1 + i) for i in range(ref_size_left + 1)]
 
     def clamped(px, py):
         return recon[min(max(py, 0), H - 1), min(max(px, 0), W - 1)]
 
-    # availability by unit
-    def unit_avail(px, py):
-        return avail_mask(px, py)
+    top_avail = [avail_mask(px, py) for px, py in top_pos]
+    left_avail = [avail_mask(px, py) for px, py in left_pos]
 
-    top_avail = [unit_avail(px, py) for px, py in top_pos]
-    left_avail = [unit_avail(px, py) for px, py in left_pos]
-
-    any_avail = any(top_avail) or any(left_avail)
     dcval = 1 << (bit_depth - 1)
     top = np.full(ref_size_top + 1, dcval, np.int32)
     left = np.full(ref_size_left + 1, dcval, np.int32)
 
-    if not any_avail:
+    if not (any(top_avail) or any(left_avail)):
         return top, left
 
     for i, (px, py) in enumerate(top_pos):
@@ -99,29 +157,21 @@ def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
         if left_avail[i]:
             left[i] = clamped(px, py)
 
-    # substitution: scan from bottom-most left sample up to corner, then
-    # along top row; replace unavailable with last available predecessor
-    # (spec 8.4.5.2.8 substitution process)
-    seq_avail = list(reversed(left_avail[1:])) + [left_avail[0] or top_avail[0]] + top_avail[1:]
-    seq_vals = list(reversed(list(left[1:]))) + [int(left[0]) if (left_avail[0] or top_avail[0]) else dcval] + list(top[1:])
-    # find first available
+    # substitution scan: bottom-most left -> corner -> top row rightwards
+    seq_avail = list(reversed(left_avail[1:])) + [left_avail[0]] + top_avail[1:]
+    seq_vals = list(reversed(list(left[1:]))) + [int(left[0])] + list(top[1:])
     first = next(i for i, a in enumerate(seq_avail) if a)
-    # fill backwards from first available
     for i in range(first - 1, -1, -1):
         seq_vals[i] = seq_vals[i + 1]
-        seq_avail[i] = True
     for i in range(first + 1, len(seq_vals)):
         if not seq_avail[i]:
             seq_vals[i] = seq_vals[i - 1]
-            seq_avail[i] = True
-    # unpack
     nl = ref_size_left
     left_f = np.asarray(list(reversed(seq_vals[:nl])), np.int32)
     corner = seq_vals[nl]
     top_f = np.asarray(seq_vals[nl + 1:], np.int32)
-    top_out = np.concatenate([[corner], top_f]).astype(np.int32)
-    left_out = np.concatenate([[corner], left_f]).astype(np.int32)
-    return top_out, left_out
+    return (np.concatenate([[corner], top_f]).astype(np.int32),
+            np.concatenate([[corner], left_f]).astype(np.int32))
 
 
 def filter_refs(top: np.ndarray, left: np.ndarray):
@@ -136,60 +186,12 @@ def filter_refs(top: np.ndarray, left: np.ndarray):
     return ft.astype(np.int32), fl.astype(np.int32)
 
 
-def needs_ref_filter(mode: int, w: int, h: int) -> bool:
-    """MDIS decision (initPredIntraParams parity) for non-ISP, refIdx 0,
-    luma."""
-    if mode == DC_IDX:
-        return False
-    if mode == PLANAR_IDX:
-        return w * h > 32
-    # angular: filter on integer-slope modes when size large enough
-    # (full MDIS rule implemented with the angular path)
-    predMode = wide_angle(w, h, mode)
-    diff = min(abs(predMode - HOR_IDX), abs(predMode - VER_IDX))
-    log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
-    thresholds = [24, 14, 2, 0, 0, 0, 0, 0]  # g_aucIntraFilter
-    filter_flag = diff > thresholds[log2_size]
-    if not filter_flag:
-        return False
-    # only for integer-slope angles (fractional uses interpolation switch)
-    ang = _pred_angle(predMode)
-    return ang != 0 and (abs(ang) & 31) == 0
-
-
-def wide_angle(w: int, h: int, mode: int) -> int:
-    """getModifiedWideAngle (UnitTools parity, spec 8.4.5.2.7)."""
-    if mode <= DC_IDX or w == h:
-        return mode
-    modeShift = [0, 6, 10, 12, 14, 15]
-    if w > h:
-        shift = modeShift[min(5, (w // h).bit_length() - 1 + ((w // h) & (w // h - 1) != 0))]
-        # exact: deltaSize = abs(log2(w) - log2(h))
-        delta = abs((w.bit_length() - 1) - (h.bit_length() - 1))
-        shift = modeShift[min(5, delta)]
-        if mode < 2 + shift:
-            return mode + 65
-    else:
-        delta = abs((w.bit_length() - 1) - (h.bit_length() - 1))
-        shift = modeShift[min(5, delta)]
-        if mode > 66 - shift:
-            return mode - 67
-    return mode
-
-
-def _pred_angle(predMode: int) -> int:
-    is_ver = predMode >= DIA_IDX
-    ang_mode = (predMode - VER_IDX) if is_ver else -(predMode - HOR_IDX)
-    sign = -1 if ang_mode < 0 else 1
-    return sign * ANG_TABLE[abs(ang_mode)]
-
-
 def predict_planar(top: np.ndarray, left: np.ndarray, w: int, h: int
                    ) -> np.ndarray:
-    """xPredIntraPlanar parity. top/left per build_refs layout."""
+    """xPredIntraPlanar parity."""
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
-    t = top[1:w + 2].astype(np.int64)       # top[x], x=0..w (incl topRight)
-    l = left[1:h + 2].astype(np.int64)      # left[y], y=0..h (incl bottomLeft)
+    t = top[1:w + 2].astype(np.int64)
+    l = left[1:h + 2].astype(np.int64)
     bottom_left = l[h]
     top_right = t[w]
     xs = np.arange(w)
@@ -206,45 +208,187 @@ def predict_planar(top: np.ndarray, left: np.ndarray, w: int, h: int
 
 def predict_dc(top: np.ndarray, left: np.ndarray, w: int, h: int
                ) -> np.ndarray:
-    """xGetPredValDc parity: averages the longer side (or both if w==h)."""
+    """xGetPredValDc parity: averages the longer side (both if square)."""
     t = top[1:w + 1].astype(np.int64)
     l = left[1:h + 1].astype(np.int64)
     if w == h:
+        denom = w << 1
         s = t.sum() + l.sum()
-        dc = (s + w) >> (w.bit_length())  # (sum + (w+h)/2) / (w+h)
-        dc = (t.sum() + l.sum() + ((w + h) >> 1)) // (w + h)
     elif w > h:
-        dc = (t.sum() + (w >> 1)) >> (w.bit_length() - 1)
+        denom = w
+        s = t.sum()
     else:
-        dc = (l.sum() + (h >> 1)) >> (h.bit_length() - 1)
+        denom = h
+        s = l.sum()
+    dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
     return np.full((h, w), int(dc), np.int32)
 
 
-def apply_pdpc_planar_dc(pred: np.ndarray, top: np.ndarray,
-                         left: np.ndarray) -> np.ndarray:
-    """PDPC for planar/DC (predIntraAng parity, CABAC-neutral filter)."""
+def _pdpc_planar_dc(pred, top, left):
     h, w = pred.shape
     scale = (((w.bit_length() - 1) - 2 + (h.bit_length() - 1) - 2 + 2) >> 2)
     ys = np.arange(h)
     xs = np.arange(w)
-    wT = 32 >> np.minimum(31, (ys << 1) >> scale)      # [h]
-    wL = 32 >> np.minimum(31, (xs << 1) >> scale)      # [w]
-    l = left[1:h + 1].astype(np.int64)[:, None]        # [h,1]
-    t = top[1:w + 1].astype(np.int64)[None, :]         # [1,w]
+    wT = (32 >> np.minimum(31, (ys << 1) >> scale)).astype(np.int64)
+    wL = (32 >> np.minimum(31, (xs << 1) >> scale)).astype(np.int64)
+    l = left[1:h + 1].astype(np.int64)[:, None]
+    t = top[1:w + 1].astype(np.int64)[None, :]
     val = pred.astype(np.int64)
     out = val + ((wL[None, :] * (l - val) + wT[:, None] * (t - val) + 32) >> 6)
     return out.astype(np.int32)
 
 
+def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
+                    w: int, h: int, params=None,
+                    bit_depth: int = 10) -> np.ndarray:
+    """xPredIntraAng parity (luma, refIdx 0). top/left must already be
+    filtered if params['refFilter']."""
+    if params is None:
+        params = pred_params(mode, w, h)
+    pred_mode = params["predMode"]
+    is_ver, ang, abs_inv = _angle_params(pred_mode)
+    clip_hi = (1 << bit_depth) - 1
+
+    width, height = (w, h) if is_ver else (h, w)
+    # main/side reference 1-D arrays with index 0 at the corner
+    # (refMain[k] valid for k in [-sizeSide..] when ang<0)
+    if ang < 0:
+        main_sz = width + 2
+        refMain = np.zeros(height + width + 2 + 1, np.int64)
+        off = height  # refMain[k] at array idx k + off
+        src_main = top if is_ver else left
+        src_side = left if is_ver else top
+        for i in range(0, width + 2):
+            refMain[i + off] = src_main[i]
+        sizeSide = height
+        for k in range(-sizeSide, 0):
+            idx = min((-k * abs_inv + 256) >> 9, sizeSide)
+            refMain[k + off] = src_side[idx]
+        side = src_side
+    else:
+        refLength = 2 * width
+        refMain = np.zeros(refLength + 3, np.int64)
+        off = 0
+        src_main = top if is_ver else left
+        src_side = left if is_ver else top
+        refMain[:refLength + 1] = src_main[:refLength + 1]
+        refMain[refLength + 1] = src_main[refLength]
+        refMain[refLength + 2] = src_main[refLength]
+        side = src_side
+
+    pred = np.zeros((height, width), np.int64)
+    if ang == 0:
+        for yy in range(height):
+            pred[yy, :] = refMain[off + 1: off + 1 + width]
+            if params["applyPDPC"]:
+                scale = ((width.bit_length() - 1) + (height.bit_length() - 1) - 2) >> 2
+                top_left = refMain[off]
+                lft = side[1 + yy]
+                for xx in range(min(3 << scale, width)):
+                    wL = 32 >> (2 * xx >> scale)
+                    val = pred[yy, xx]
+                    val = val + ((wL * (lft - top_left) + 32) >> 6)
+                    pred[yy, xx] = min(max(val, 0), clip_hi)
+    else:
+        use_cubic = not params["interpFilter"]
+        delta_pos = ang
+        for yy in range(height):
+            delta_int = delta_pos >> 5
+            delta_fract = delta_pos & 31
+            xs = np.arange(width)
+            if not is_integer_slope(abs(ang)):
+                if use_cubic:
+                    f = CHROMA_FILTER[delta_fract]
+                else:
+                    f = np.asarray([16 - (delta_fract >> 1),
+                                    32 - (delta_fract >> 1),
+                                    16 + (delta_fract >> 1),
+                                    delta_fract >> 1], np.int32)
+                base = off + delta_int + xs
+                val = (f[0] * refMain[base] + f[1] * refMain[base + 1]
+                       + f[2] * refMain[base + 2] + f[3] * refMain[base + 3]
+                       + 32) >> 6
+                pred[yy, :] = np.clip(val, 0, clip_hi)
+            else:
+                pred[yy, :] = refMain[off + delta_int + 1 + xs]
+            if params["applyPDPC"]:
+                scale = params["angularScale"]
+                inv_angle_sum = 256
+                for xx in range(min(3 << scale, width)):
+                    inv_angle_sum += abs_inv
+                    wL = 32 >> (2 * xx >> scale)
+                    lft = side[yy + (inv_angle_sum >> 9) + 1]
+                    pred[yy, xx] = pred[yy, xx] + (
+                        (wL * (lft - pred[yy, xx]) + 32) >> 6)
+            delta_pos += ang
+    if not is_ver:
+        pred = pred.T
+    return pred.astype(np.int32)
+
+
 def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
-            apply_pdpc: bool = True) -> np.ndarray:
-    """Full intra prediction for planar/DC (angular in a later rev)."""
+            bit_depth: int = 10) -> np.ndarray:
+    """Full luma intra prediction incl. PDPC. top/left are UNFILTERED;
+    smoothing is applied internally per the MDIS rules."""
+    params = pred_params(mode, w, h)
+    if params["refFilter"]:
+        top, left = filter_refs(top, left)
     if mode == PLANAR_IDX:
         p = predict_planar(top, left, w, h)
+        if params["applyPDPC"]:
+            p = _pdpc_planar_dc(p, top, left)
     elif mode == DC_IDX:
         p = predict_dc(top, left, w, h)
+        if params["applyPDPC"]:
+            p = _pdpc_planar_dc(p, top, left)
     else:
-        raise NotImplementedError(f"angular mode {mode}")
-    if apply_pdpc and w >= 4 and h >= 4:
-        p = apply_pdpc_planar_dc(p, top, left)
+        p = predict_angular(mode, top, left, w, h, params, bit_depth)
     return p
+
+
+def get_intra_mpms(left_mode: int | None, above_mode: int | None):
+    """PU::getIntraMPMs parity. left/above = luma intra dir of the
+    neighbor PU (None if unavailable/not intra)."""
+    L = left_mode if left_mode is not None else PLANAR_IDX
+    A = above_mode if above_mode is not None else PLANAR_IDX
+    offset = NUM_LUMA_MODE - 6   # 61
+    mod = offset + 3             # 64
+    mpm = [PLANAR_IDX, DC_IDX, VER_IDX, HOR_IDX, VER_IDX - 4, VER_IDX + 4]
+    if L == A:
+        if L > DC_IDX:
+            mpm = [PLANAR_IDX, L,
+                   ((L + offset) % mod) + 2,
+                   ((L - 1) % mod) + 2,
+                   ((L + offset - 1) % mod) + 2,
+                   (L % mod) + 2]
+    else:
+        if L > DC_IDX and A > DC_IDX:
+            mpm[0] = PLANAR_IDX
+            mpm[1] = L
+            mpm[2] = A
+            mx, mn = (1, 2) if mpm[1] > mpm[2] else (2, 1)
+            if mpm[mx] - mpm[mn] == 1:
+                mpm[3] = ((mpm[mn] + offset) % mod) + 2
+                mpm[4] = ((mpm[mx] - 1) % mod) + 2
+                mpm[5] = ((mpm[mn] + offset - 1) % mod) + 2
+            elif mpm[mx] - mpm[mn] >= 62:
+                mpm[3] = ((mpm[mn] - 1) % mod) + 2
+                mpm[4] = ((mpm[mx] + offset) % mod) + 2
+                mpm[5] = (mpm[mn] % mod) + 2
+            elif mpm[mx] - mpm[mn] == 2:
+                mpm[3] = ((mpm[mn] - 1) % mod) + 2
+                mpm[4] = ((mpm[mn] + offset) % mod) + 2
+                mpm[5] = ((mpm[mx] - 1) % mod) + 2
+            else:
+                mpm[3] = ((mpm[mn] + offset) % mod) + 2
+                mpm[4] = ((mpm[mn] - 1) % mod) + 2
+                mpm[5] = ((mpm[mx] + offset) % mod) + 2
+        elif L + A >= 2:
+            m = max(L, A)
+            mpm[0] = PLANAR_IDX
+            mpm[1] = m
+            mpm[2] = ((m + offset) % mod) + 2
+            mpm[3] = ((m - 1) % mod) + 2
+            mpm[4] = ((m + offset - 1) % mod) + 2
+            mpm[5] = (m % mod) + 2
+    return mpm
