@@ -1,0 +1,601 @@
+"""Frame encoder (I and P slices) with QTMT partition search:
+monochrome (4:0:0), recursive RD over QT/BT/TT, 67-mode intra + AMVP
+inter with integer/fractional ME, DCT2 + scalar quant, no in-loop
+filters. Produces VVC bitstreams the reference VTM-11 DecoderApp
+decodes bit-exactly to our own reconstruction.
+
+RD search: trial-encode with CABAC state snapshot/rollback — cost =
+SSD(recon) + lambda * exact_bits (sequential analogue of VTM
+EncCu::xCompressCU, EncCu.cpp:541). The batched TPU search replaces
+this loop; syntax writers and kernels are shared.
+
+Syntax parity: CABACWriter coding_tree/split_cu_mode (:567),
+coding_unit (:~646: cu_skip_flag, pred_mode), prediction_unit (:~1720:
+merge_flag, mvd_coding, mvp_flag), rqt_root_cbf, intra_luma_pred_modes,
+transform_unit, residual_coding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops import intra, inter, transforms, quant
+from . import cabac, contexts, ctx_ids, hls, partition, residual
+
+
+@dataclasses.dataclass
+class FrameResult:
+    bitstream: bytes
+    recon: np.ndarray
+    num_bits: int
+    cu_map: np.ndarray | None = None      # per-4x4 (w<<16|h)
+    inter_map: np.ndarray | None = None   # per-4x4 inter flag
+
+
+def _clip_pel(x, bit_depth):
+    return np.clip(x, 0, (1 << bit_depth) - 1)
+
+
+def write_trunc_bin(enc, symbol: int, max_symbol: int):
+    """xWriteTruncBinCode parity (bypass truncated binary)."""
+    thresh = max_symbol.bit_length() - 1
+    val = 1 << thresh
+    b = max_symbol - val
+    if symbol < val - b:
+        enc.encode_bins_ep(symbol, thresh)
+    else:
+        symbol += val - b
+        enc.encode_bins_ep(symbol, thresh + 1)
+
+
+def write_intra_luma_mode(enc, mode: int, mpm: list[int]):
+    """intra_luma_pred_modes parity (no MIP/MRL/ISP)."""
+    mpm_idx = mpm.index(mode) if mode in mpm else 6
+    enc.encode_bin(1 if mpm_idx < 6 else 0, ctx_ids.IntraLumaMpmFlag[0])
+    if mpm_idx < 6:
+        enc.encode_bin(1 if mpm_idx > 0 else 0,
+                       ctx_ids.IntraLumaPlanarFlag[0] + 1)
+        if mpm_idx:
+            enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
+        if mpm_idx > 1:
+            enc.encode_bin_ep(1 if mpm_idx > 2 else 0)
+        if mpm_idx > 2:
+            enc.encode_bin_ep(1 if mpm_idx > 3 else 0)
+        if mpm_idx > 3:
+            enc.encode_bin_ep(1 if mpm_idx > 4 else 0)
+    else:
+        sorted_mpm = sorted(mpm)
+        m = mode
+        for idx in range(5, -1, -1):
+            if m > sorted_mpm[idx]:
+                m -= 1
+        write_trunc_bin(enc, m, intra.NUM_LUMA_MODE - 6)
+
+
+def write_mvd(enc, mvd_q: tuple[int, int]):
+    """mvd_coding parity (quarter-pel signalling units, imv=0)."""
+    hor, ver = mvd_q
+    habs, vabs = abs(hor), abs(ver)
+    enc.encode_bin(1 if habs > 0 else 0, ctx_ids.Mvd[0])
+    enc.encode_bin(1 if vabs > 0 else 0, ctx_ids.Mvd[0])
+    if habs > 0:
+        enc.encode_bin(1 if habs > 1 else 0, ctx_ids.Mvd[0] + 1)
+    if vabs > 0:
+        enc.encode_bin(1 if vabs > 1 else 0, ctx_ids.Mvd[0] + 1)
+    if habs > 0:
+        if habs > 1:
+            residual.encode_rem_abs_ep(enc, habs - 2, 1, 0, 17)  # MV_BITS-1
+        enc.encode_bin_ep(1 if hor < 0 else 0)
+    if vabs > 0:
+        if vabs > 1:
+            residual.encode_rem_abs_ep(enc, vabs - 2, 1, 0, 17)
+        enc.encode_bin_ep(1 if ver < 0 else 0)
+
+
+class _EncState:
+    """Snapshot/rollback of CABAC engine + contexts (RD trial encode).
+    Snapshots taken after `base` carry the byte suffix since `base`."""
+
+    @staticmethod
+    def save(enc: cabac.CabacEncoder, base_out_len: int = 0):
+        return (enc.low, enc.range, enc.buffered_byte,
+                enc.num_buffered_bytes, enc.bits_left, base_out_len,
+                bytes(enc.out[base_out_len:]),
+                enc.ctx.state0.copy(), enc.ctx.state1.copy())
+
+    @staticmethod
+    def restore(enc: cabac.CabacEncoder, s):
+        (enc.low, enc.range, enc.buffered_byte, enc.num_buffered_bytes,
+         enc.bits_left, base_out_len, suffix, s0, s1) = s
+        del enc.out[base_out_len:]
+        enc.out.extend(suffix)
+        enc.ctx.state0[:] = s0
+        enc.ctx.state1[:] = s1
+
+    @staticmethod
+    def bits(enc: cabac.CabacEncoder) -> int:
+        return 8 * (len(enc.out) + enc.num_buffered_bytes) + \
+            (23 - enc.bits_left)
+
+
+class _Maps:
+    """Per-4x4-unit SoA state for neighbor-dependent derivations
+    (replaces VTM's CU pointer graph; SURVEY.md §7.1 SoA stance)."""
+
+    def __init__(self, w, h):
+        self.gw, self.gh = w // 4, h // 4
+        shp = (self.gh, self.gw)
+        self.cu_w = np.zeros(shp, np.int32)
+        self.cu_h = np.zeros(shp, np.int32)
+        self.qt_d = np.full(shp, -1, np.int32)
+        self.mode = np.full(shp, -1, np.int32)    # intra mode, -1 if inter
+        self.coded = np.zeros(shp, bool)
+        self.skip = np.zeros(shp, bool)
+        self.inter_dir = np.zeros(shp, np.int8)
+        self.mv0 = np.zeros(shp + (2,), np.int32)  # internal 1/16
+        self.ref0 = np.full(shp, -1, np.int8)
+
+    def mark_intra_cu(self, x, y, w, h, qt_depth, mode):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        self.cu_w[sl] = w
+        self.cu_h[sl] = h
+        self.qt_d[sl] = qt_depth
+        self.mode[sl] = mode
+        self.inter_dir[sl] = 0
+        self.ref0[sl] = -1
+        self.coded[sl] = True
+
+    def mark_inter_cu(self, x, y, w, h, qt_depth, mv0, ref0, skip=False):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        self.cu_w[sl] = w
+        self.cu_h[sl] = h
+        self.qt_d[sl] = qt_depth
+        self.mode[sl] = -1
+        self.inter_dir[sl] = 1
+        self.mv0[sl] = mv0
+        self.ref0[sl] = ref0
+        self.skip[sl] = skip
+        self.coded[sl] = True
+
+    _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
+               "inter_dir", "mv0", "ref0")
+
+    def region(self, x, y, w, h):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        return tuple(getattr(self, f)[sl].copy() for f in self._FIELDS)
+
+    def restore_region(self, x, y, w, h, saved):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        for f, v in zip(self._FIELDS, saved):
+            getattr(self, f)[sl] = v
+
+    def _at(self, x, y):
+        if x < 0 or y < 0 or x // 4 >= self.gw or y // 4 >= self.gh:
+            return None
+        if not self.coded[y // 4, x // 4]:
+            return None
+        return y // 4, x // 4
+
+    def cu_size(self, x, y):
+        p = self._at(x, y)
+        return None if p is None else (int(self.cu_w[p]), int(self.cu_h[p]))
+
+    def qt_depth(self, x, y):
+        p = self._at(x, y)
+        return None if p is None else int(self.qt_d[p])
+
+    def intra_mode(self, x, y):
+        p = self._at(x, y)
+        if p is None:
+            return None
+        m = int(self.mode[p])
+        return None if m < 0 else m
+
+    def is_skip(self, x, y):
+        p = self._at(x, y)
+        return False if p is None else bool(self.skip[p])
+
+    def is_intra(self, x, y):
+        p = self._at(x, y)
+        return False if p is None else int(self.mode[p]) >= 0
+
+    def motion(self, x, y):
+        p = self._at(x, y)
+        if p is None or self.inter_dir[p] == 0:
+            return None
+        return inter.MotionInfo(
+            int(self.inter_dir[p]),
+            (int(self.mv0[p][0]), int(self.mv0[p][1])),
+            (0, 0), int(self.ref0[p]), -1)
+
+    # MotionField-protocol adapter for ops.inter.fill_mvp_cands
+    def get(self, x, y):
+        return self.motion(x, y)
+
+
+class FrameEncoder:
+    """Encodes I/P frames with QTMT partition search."""
+
+    def __init__(self, cfg: hls.SeqConfig, num_mode_cands: int = 3,
+                 me_range: int = 16):
+        assert cfg.chroma_format == hls.CHROMA_400, "4:0:0 only for now"
+        assert cfg.width % cfg.ctu_size == 0
+        assert cfg.height % cfg.ctu_size == 0
+        assert cfg.ctu_size <= 64, "CTU 128 needs implicit TU split (TODO)"
+        self.cfg = cfg
+        self.num_mode_cands = num_mode_cands
+        self.me_range = me_range
+
+    def _pc(self, slice_type):
+        cfg = self.cfg
+        if slice_type == hls.I_SLICE:
+            return partition.PartitionConstraints(
+                ctu_size=cfg.ctu_size, min_cu=1 << cfg.log2_min_cu,
+                min_qt=cfg.min_qt_intra,
+                max_mtt_depth=cfg.max_mtt_depth_intra,
+                max_bt_size=cfg.max_bt_intra, max_tt_size=cfg.max_tt_intra,
+                max_tb_size=1 << cfg.log2_max_tb)
+        return partition.PartitionConstraints(
+            ctu_size=cfg.ctu_size, min_cu=1 << cfg.log2_min_cu,
+            min_qt=cfg.min_qt_inter,
+            max_mtt_depth=cfg.max_mtt_depth_inter,
+            max_bt_size=cfg.max_bt_inter, max_tt_size=cfg.max_tt_inter,
+            max_tb_size=1 << cfg.log2_max_tb)
+
+    def encode_frame(self, org: np.ndarray, poc: int = 0,
+                     qp: int | None = None,
+                     slice_type: int = hls.I_SLICE,
+                     refs: list[tuple[int, np.ndarray]] | None = None
+                     ) -> FrameResult:
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        H, W = org.shape
+        assert (H, W) == (cfg.height, cfg.width)
+        cs = cfg.ctu_size
+
+        self.slice_type = slice_type
+        self.refs = refs or []
+        self.ref_pocs = [p for p, _ in self.refs]
+        self.poc = poc
+        self.pc = self._pc(slice_type)
+        self.org = org.astype(np.int32)
+        self.recon = np.zeros((H, W), np.int32)
+        self.maps = _Maps(W, H)
+        self.hmvp: list[inter.MotionInfo] = []
+        self.qp = qp
+        self.qp_eff = qp + 6 * (cfg.bit_depth - 8)
+        self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+
+        bank = contexts.init_bank(
+            contexts.I_SLICE if slice_type == hls.I_SLICE
+            else contexts.P_SLICE, qp)
+        enc = cabac.CabacEncoder(bank)
+        self.enc = enc
+
+        for y in range(0, H, cs):
+            self.hmvp = []     # HMVP reset at each CTU row (spec §8.5.2.16)
+            for x in range(0, W, cs):
+                self._compress_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
+                                  None)
+
+        enc.encode_bin_trm(1)
+        payload = enc.finish()
+        if slice_type == hls.I_SLICE:
+            pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
+                                nal_type=hls.NAL_IDR_N_LP, qp=qp)
+        else:
+            # RPL identifiers: refPOC - currPOC (negative = past;
+            # Slice::constructRefPicList refPOC = POC + identifier)
+            deltas = tuple(p - poc for p, _ in self.refs)
+            pic = hls.PicConfig(poc=poc, slice_type=hls.P_SLICE,
+                                nal_type=hls.NAL_TRAIL, qp=qp,
+                                is_irap=False, ref_deltas_l0=deltas)
+        bs = hls.bitstream_for_frames(cfg, [(pic, payload, enc.tail_bits())])
+        cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
+        return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
+                           (self.maps.inter_dir > 0).copy())
+
+    # ------------------------------------------------------------------
+    def _compress_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
+                     tt_mid) -> float:
+        enc = self.enc
+        cans = partition.can_split(w, h, qt_depth, mtt_depth, self.pc,
+                                   last_split, tt_mid)
+        ctxs = partition.split_ctx(self.maps, x, y, w, h, qt_depth,
+                                   mtt_depth, cans)
+        can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
+
+        options = []
+        if can_no:
+            options.append(partition.NO_SPLIT)
+        if can_qt:
+            options.append(partition.QT_SPLIT)
+        if can_bh:
+            options.append(partition.BT_H)
+        if can_bv:
+            options.append(partition.BT_V)
+        if can_th:
+            options.append(partition.TT_H)
+        if can_tv:
+            options.append(partition.TT_V)
+
+        best = None
+        base_len = len(enc.out)
+        base_state = _EncState.save(enc, base_len)
+        base_bits = _EncState.bits(enc)
+        recon_save = self.recon[y:y + h, x:x + w].copy()
+        maps_save = self.maps.region(x, y, w, h)
+        hmvp_save = list(self.hmvp)
+
+        for split in options:
+            partition.write_split_mode(enc, split, cans, ctxs)
+            if split == partition.NO_SPLIT:
+                ssd = self._encode_leaf(x, y, w, h, qt_depth)
+                cost = ssd + self.lam * (_EncState.bits(enc) - base_bits)
+            else:
+                for i, (cx, cy, cw, ch) in enumerate(
+                        partition.split_children(x, y, w, h, split)):
+                    nqt = qt_depth + 1 if split == partition.QT_SPLIT \
+                        else qt_depth
+                    nmt = mtt_depth if split == partition.QT_SPLIT \
+                        else mtt_depth + 1
+                    tmid = None
+                    if split in (partition.TT_H, partition.TT_V) and i == 1:
+                        tmid = partition.BT_H if split == partition.TT_H \
+                            else partition.BT_V
+                    self._compress_cu(cx, cy, cw, ch, nqt, nmt, split, tmid)
+                cost = self._region_ssd(x, y, w, h) + \
+                    self.lam * (_EncState.bits(enc) - base_bits)
+
+            if best is None or cost < best[0]:
+                best = (cost, _EncState.save(enc, base_len),
+                        self.recon[y:y + h, x:x + w].copy(),
+                        self.maps.region(x, y, w, h), list(self.hmvp))
+            _EncState.restore(enc, base_state)
+            self.recon[y:y + h, x:x + w] = recon_save
+            self.maps.restore_region(x, y, w, h, maps_save)
+            self.hmvp = list(hmvp_save)
+
+        cost, end_state, recon_best, maps_best, hmvp_best = best
+        _EncState.restore(enc, end_state)
+        self.recon[y:y + h, x:x + w] = recon_best
+        self.maps.restore_region(x, y, w, h, maps_best)
+        self.hmvp = hmvp_best
+        return cost
+
+    def _region_ssd(self, x, y, w, h) -> float:
+        d = (self.org[y:y + h, x:x + w]
+             - self.recon[y:y + h, x:x + w]).astype(np.int64)
+        return float((d * d).sum())
+
+    # ------------------------------------------------------------------
+    _FAST_POOL = [0, 1, 2, 10, 18, 26, 34, 42, 50, 58, 66]
+
+    def _mode_candidates(self, blk, top, left, w, h, mpm):
+        pool = sorted(set(self._FAST_POOL) | set(mpm))
+        sads = []
+        preds = {}
+        for m in pool:
+            p = intra.predict(m, top, left, w, h, self.cfg.bit_depth)
+            preds[m] = p
+            sads.append((int(np.abs(blk - p).sum()), m))
+        sads.sort()
+        cands = [m for _, m in sads[:self.num_mode_cands]]
+        for m in mpm[:2]:
+            if m not in cands:
+                cands.append(m)
+        return cands, preds
+
+    def _tq_recon(self, blk, pred):
+        """Transform+quant+reconstruct; returns (q, recon, cbf)."""
+        import jax.numpy as jnp
+        bd = self.cfg.bit_depth
+        resi = blk - pred
+        coeff = np.asarray(transforms.fwd_transform_2d(
+            jnp.asarray(resi[None]), bit_depth=bd))[0]
+        q = np.asarray(quant.quant(jnp.asarray(coeff[None]), self.qp_eff,
+                                   bit_depth=bd,
+                                   is_irap=self.slice_type == hls.I_SLICE))[0]
+        if np.any(q):
+            dq = np.asarray(quant.dequant(jnp.asarray(q[None]), self.qp_eff,
+                                          bit_depth=bd))[0]
+            r = np.asarray(transforms.inv_transform_2d(
+                jnp.asarray(dq[None]), bit_depth=bd))[0]
+            return q, _clip_pel(pred + r, bd), True
+        return q, _clip_pel(pred, bd), False
+
+    # ------------------------------------------------------------------
+    def _encode_leaf(self, x, y, w, h, qt_depth) -> float:
+        enc = self.enc
+        is_p = self.slice_type == hls.P_SLICE
+        blk = self.org[y:y + h, x:x + w]
+        base_len = len(enc.out)
+        base_state = _EncState.save(enc, base_len)
+        base_bits = _EncState.bits(enc)
+        best = None
+
+        # ----- intra option -----
+        intra_trial = self._try_intra(x, y, w, h, blk)
+        write_cost = lambda ssd: ssd + self.lam * (_EncState.bits(enc)
+                                                   - base_bits)
+        # write + cost intra
+        self._write_leaf_intra(x, y, w, h, *intra_trial[:3])
+        cost = write_cost(intra_trial[3])
+        best = (cost, "intra", intra_trial,
+                _EncState.save(enc, base_len))
+        _EncState.restore(enc, base_state)
+
+        # ----- inter option (P slice, not 4x4) -----
+        if is_p and not (w == 4 and h == 4) and self.refs:
+            it = self._try_inter(x, y, w, h, blk)
+            if it is not None:
+                self._write_leaf_inter(x, y, w, h, *it[:4])
+                cost = write_cost(it[4])
+                if cost < best[0]:
+                    best = (cost, "inter", it,
+                            _EncState.save(enc, base_len))
+                _EncState.restore(enc, base_state)
+
+        cost, kind, trial, end_state = best
+        _EncState.restore(enc, end_state)
+        if kind == "intra":
+            mode, q, cbf, ssd, recon = trial[0], trial[1], trial[2], \
+                trial[3], trial[4]
+            self.recon[y:y + h, x:x + w] = recon
+            self.maps.mark_intra_cu(x, y, w, h, qt_depth, mode)
+            return ssd
+        else:
+            mv, ref_idx, mvp_idx, q, ssd, recon = trial[0], trial[1], \
+                trial[2], trial[3], trial[4], trial[5]
+            self.recon[y:y + h, x:x + w] = recon
+            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mv, ref_idx)
+            mi = inter.MotionInfo(1, mv, (0, 0), ref_idx, -1)
+            inter.hmvp_update(self.hmvp, mi)
+            return ssd
+
+    # ------------------------------------------------------------------
+    def _try_intra(self, x, y, w, h, blk):
+        """-> (mode, q, cbf, ssd, recon) for best intra mode by RD."""
+        enc = self.enc
+        top, left = intra.build_refs(self.recon, x, y, w, h,
+                                     self.cfg.bit_depth,
+                                     self._avail_mask())
+        mpm = self._mpms(x, y, w, h)
+        cands, preds = self._mode_candidates(blk, top, left, w, h, mpm)
+
+        base_len = len(enc.out)
+        base_state = _EncState.save(enc, base_len)
+        base_bits = _EncState.bits(enc)
+        best = None
+        for m in cands:
+            q, recon, cbf = self._tq_recon(blk, preds[m])
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            self._write_leaf_intra(x, y, w, h, m, q, cbf)
+            cost = ssd + self.lam * (_EncState.bits(enc) - base_bits)
+            if best is None or cost < best[0]:
+                best = (cost, (m, q, cbf, ssd, recon))
+            _EncState.restore(enc, base_state)
+        return best[1]
+
+    def _write_leaf_intra(self, x, y, w, h, mode, q, cbf):
+        enc = self.enc
+        if self.slice_type != hls.I_SLICE:
+            self._write_skip_predmode(x, y, w, h, is_intra=True)
+        mpm = self._mpms(x, y, w, h)
+        write_intra_luma_mode(enc, mode, mpm)
+        enc.encode_bin(1 if cbf else 0, ctx_ids.QtCbf[0][0])
+        if cbf:
+            residual.write_residual_coding(enc, q, residual.LUMA)
+
+    def _write_skip_predmode(self, x, y, w, h, is_intra):
+        """cu_skip_flag + pred_mode for P slices (skip always 0 here)."""
+        enc = self.enc
+        if not (w == 4 and h == 4):
+            ctxi = (1 if self.maps.is_skip(x - 1, y) else 0) + \
+                (1 if self.maps.is_skip(x, y - 1) else 0)
+            enc.encode_bin(0, ctx_ids.SkipFlag[0] + ctxi)
+            # pred_mode (4x4 is inferred intra; otherwise signalled)
+            ctxp = 1 if (self.maps.is_intra(x - 1, y)
+                         or self.maps.is_intra(x, y - 1)) else 0
+            enc.encode_bin(1 if is_intra else 0,
+                           ctx_ids.PredMode[0] + ctxp)
+
+    # ------------------------------------------------------------------
+    def _try_inter(self, x, y, w, h, blk):
+        """Simple ME + AMVP: -> (mv_internal, ref_idx, mvp_idx, q, ssd,
+        recon) or None."""
+        ref_idx = 0
+        ref_plane = self.refs[ref_idx][1]
+        mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
+                                    self.ref_pocs, ref_idx)
+        # integer full search around the first predictor
+        cx = x + (mvps[0][0] >> 4)
+        cy = y + (mvps[0][1] >> 4)
+        sr = self.me_range
+        best_sad, best_int = None, (0, 0)
+        H, W = ref_plane.shape
+        for dy in range(-sr, sr + 1):
+            for dx in range(-sr, sr + 1):
+                px, py = cx + dx, cy + dy
+                win = inter._gather_clamped(ref_plane, px, py, w, h)
+                sad = int(np.abs(blk - win).sum())
+                if best_sad is None or sad < best_sad:
+                    best_sad = sad
+                    best_int = (px - x, py - y)
+        mv = (best_int[0] << 4, best_int[1] << 4)
+        # fractional refinement at quarter-pel signalling precision
+        # (internal step 4 = 1/4 pel; MC phases hit the 8-tap filter)
+        best_cost = None
+        best_mv = mv
+        for qdy in range(-2, 3):
+            for qdx in range(-2, 3):
+                cand = (mv[0] + 4 * qdx, mv[1] + 4 * qdy)
+                p = inter.mc_luma(ref_plane, x, y, w, h, cand,
+                                  self.cfg.bit_depth)
+                cost = int(np.abs(blk - p).sum())
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_mv = cost, cand
+        mv = best_mv
+        # pick mvp minimizing mvd magnitude
+        def mvd_q(mvp):
+            return (inter.mv_internal_to_quarter(mv[0] - mvp[0]),
+                    inter.mv_internal_to_quarter(mv[1] - mvp[1]))
+        costs = [abs(mvd_q(p)[0]) + abs(mvd_q(p)[1]) for p in mvps]
+        mvp_idx = int(np.argmin(costs))
+        mvd = mvd_q(mvps[mvp_idx])
+        # exactness: mv must equal mvp + (mvd << 2)
+        mv_check = (mvps[mvp_idx][0] + (mvd[0] << 2),
+                    mvps[mvp_idx][1] + (mvd[1] << 2))
+        if mv_check != mv:
+            return None  # (cannot happen with quarter-aligned mvp)
+        pred = inter.mc_luma(ref_plane, x, y, w, h, mv,
+                             self.cfg.bit_depth)
+        q, recon, cbf = self._tq_recon(blk, pred)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        return (mv, ref_idx, mvp_idx, q, ssd, recon, mvd)
+
+    def _write_leaf_inter(self, x, y, w, h, mv, ref_idx, mvp_idx, q):
+        enc = self.enc
+        self._write_skip_predmode(x, y, w, h, is_intra=False)
+        enc.encode_bin(0, ctx_ids.MergeFlag[0])      # merge_flag = 0
+        # inter_pred_idc: P slice -> nothing; affine/smvd off
+        # ref_idx: single ref -> nothing
+        mvp = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
+                                   self.ref_pocs, ref_idx)[mvp_idx]
+        mvd = (inter.mv_internal_to_quarter(mv[0] - mvp[0]),
+               inter.mv_internal_to_quarter(mv[1] - mvp[1]))
+        write_mvd(enc, mvd)
+        enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
+        # imv off, bcw off
+        cbf = bool(np.any(q))
+        enc.encode_bin(1 if cbf else 0, ctx_ids.QtRootCbf[0])
+        if cbf:
+            # 400: luma cbf inferred 1 -> residual directly
+            residual.write_residual_coding(enc, q, residual.LUMA)
+
+    # ------------------------------------------------------------------
+    def _mpms(self, x, y, w, h):
+        left_mode = self.maps.intra_mode(x - 1, y + h - 1)
+        ctu = self.cfg.ctu_size
+        if (y % ctu) == 0:
+            above_mode = None
+        else:
+            above_mode = self.maps.intra_mode(x + w - 1, y - 1)
+        return intra.get_intra_mpms(left_mode, above_mode)
+
+    def _avail_mask(self):
+        maps = self.maps
+
+        def mask(bx, by):
+            if bx < 0 or by < 0:
+                return False
+            if bx // 4 >= maps.gw or by // 4 >= maps.gh:
+                return False
+            return bool(maps.coded[by // 4, bx // 4])
+        return mask
+
+
+# Backwards-compatible alias (tests, earlier milestones)
+IntraFrameEncoder = FrameEncoder

@@ -330,6 +330,10 @@ class PicConfig:
     qp: Optional[int] = None     # slice QP; default = cfg.qp
     is_irap: bool = True
     temporal_id: int = 0
+    # L0/L1 reference identifiers (refPOC - currPOC; negative = past),
+    # closest first; empty for I
+    ref_deltas_l0: tuple = ()
+    ref_deltas_l1: tuple = ()
 
 
 def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
@@ -352,14 +356,32 @@ def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
     if intra_only:
         pass                            # pps_cu_qp_delta off -> nothing
     else:
+        # split-override absent; pps_cu_qp_delta off; chroma offsets off
         if cfg.temporal_mvp:
             w.write_flag(1)             # ph_temporal_mvp_enabled_flag
-        # rpl in SH; mvd_l1_zero written when rpl not in ph
+        # rpl in SH -> ph_mvd_l1_zero_flag present
         w.write_flag(0)                 # ph_mvd_l1_zero_flag
     # joint cbcr sign flag
     if cfg.joint_cbcr:
         w.write_flag(0)                 # ph_joint_cbcr_sign_flag
     # sao in SH, deblocking override off -> nothing more
+
+
+def _write_rpl(w: BitWriter, deltas: tuple):
+    """ref_pic_list_struct (xCodeRefPicList parity): STRP-only, no WP
+    (forbidden-zero-delta form)."""
+    w.write_uvlc(len(deltas))           # num_ref_entries
+    prev = 0
+    for i, d in enumerate(deltas):
+        delta = d - prev if i else d    # delta vs previous entry
+        prev = d
+        abs_d = abs(delta)
+        if i == 0:
+            w.write_uvlc(abs_d - 1)     # abs_delta_poc_st (minus1 form)
+        else:
+            w.write_uvlc(abs_d)
+        if abs_d > 0:
+            w.write_flag(1 if delta < 0 else 0)  # strp_entry_sign_flag
 
 
 def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
@@ -375,8 +397,17 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
     if pic.nal_type in (NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL):
         w.write_flag(0)                 # sh_no_output_of_prior_pics_flag
     if not intra_only:
-        raise NotImplementedError("inter slice header RPL signalling")
-    # numRefIdx inferred 0; no cabac_init (pps flag 0); no TMVP for intra
+        # explicit ref_pic_lists in the slice header (sps has 0 RPL
+        # candidates; IDR has no RPL since sps_idr_rpl_present=0)
+        _write_rpl(w, pic.ref_deltas_l0)
+        _write_rpl(w, pic.ref_deltas_l1)
+        # num_ref_idx_active_override: only when list has > 1 entry
+        n0, n1 = len(pic.ref_deltas_l0), len(pic.ref_deltas_l1)
+        is_b = pic.slice_type == B_SLICE
+        if (n0 > 1) or (is_b and n1 > 1):
+            w.write_flag(0)             # sh_num_ref_idx_active_override_flag
+        # cabac_init: pps flag 0 -> nothing; TMVP: ph off -> nothing
+        # weighted pred off -> nothing
     # qp delta (pps_qp_delta_info_in_ph off)
     qp = pic.qp if pic.qp is not None else cfg.qp
     w.write_svlc(qp - cfg.qp)           # sh_qp_delta

@@ -1,0 +1,256 @@
+"""Inter prediction: motion compensation (normative §8.5.6), MV
+precision utilities, AMVP candidate derivation, HMVP.
+
+Behavioral parity:
+  - MC filters: CommonLib/InterpolationFilter.cpp m_lumaFilter (16-phase
+    8-tap), m_chromaFilter (32-phase 4-tap); filter core shifts
+    (InterpolationFilter.cpp::filter — IF_INTERNAL_PREC 14,
+    IF_FILTER_PREC 6, internal offset 8192)
+  - MV precision: Mv.h changePrecision/divideByPowerOf2 (internal 1/16,
+    signalling 1/4 for imv=0)
+  - AMVP: UnitTools.cpp PU::fillMvpCand (:~1490), addMVPCandUnscaled,
+    addAMVPHMVPCand; HMVP: CodingStructure::addMiToLut (:952),
+    CU::saveMotionInHMVP (:344)
+
+Reference-picture access uses border clamping (VTM extends picture
+borders by padding; equivalent gather-with-clamp here).
+
+numpy scalar-exact implementation; the batched JAX/Pallas MC kernel for
+the ME hot loop mirrors this math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# 8-tap 16-phase luma MC filter (spec Table 28)
+LUMA_FILTER = np.asarray([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [0, 1, -3, 63, 4, -2, 1, 0],
+    [-1, 2, -5, 62, 8, -3, 1, 0],
+    [-1, 3, -8, 60, 13, -4, 1, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 52, 26, -8, 3, -1],
+    [-1, 3, -9, 47, 31, -10, 4, -1],
+    [-1, 4, -11, 45, 34, -10, 4, -1],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [-1, 4, -10, 34, 45, -11, 4, -1],
+    [-1, 4, -10, 31, 47, -9, 3, -1],
+    [-1, 3, -8, 26, 52, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+    [0, 1, -4, 13, 60, -8, 3, -1],
+    [0, 1, -3, 8, 62, -5, 2, -1],
+    [0, 1, -2, 4, 63, -3, 1, 0]], np.int32)
+
+IF_INTERNAL_PREC = 14
+IF_FILTER_PREC = 6
+IF_INTERNAL_OFFS = 1 << (IF_INTERNAL_PREC - 1)
+
+MV_FRAC_BITS = 4          # internal 1/16-pel
+AMVP_MAX_NUM_CANDS = 2
+MAX_NUM_HMVP_CANDS = 5    # MRG_MAX_NUM_CANDS - 1
+MAX_NUM_HMVP_AMVP_CANDS = 4
+
+
+# ---------------------------------------------------------------------------
+# MV precision (Mv.h parity)
+
+def mv_round_to_quarter(v: int) -> int:
+    """roundTransPrecInternal2Amvr(imv=0): internal -> quarter -> internal."""
+    return _div_pow2(v, 2) << 2
+
+
+def mv_internal_to_quarter(v: int) -> int:
+    """changeTransPrecInternal2Amvr(0): internal(1/16) -> quarter."""
+    return _div_pow2(v, 2)
+
+
+def mv_quarter_to_internal(v: int) -> int:
+    return v << 2
+
+
+def _div_pow2(v: int, i: int) -> int:
+    """Mv::divideByPowerOf2 rounding."""
+    if i == 0:
+        return v
+    offset = 1 << (i - 1)
+    return (v + offset - (1 if v >= 0 else 0)) >> i
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation
+
+def _gather_clamped(plane: np.ndarray, x0: int, y0: int, w: int, h: int):
+    """Read a w x h window at (x0, y0) with border clamping."""
+    H, W = plane.shape
+    xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+    ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
+    return plane[np.ix_(ys, xs)].astype(np.int64)
+
+
+def mc_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
+            mv_internal: tuple[int, int], bit_depth: int = 10) -> np.ndarray:
+    """Luma MC for a block at (x, y) with an internal-precision (1/16)
+    MV. Uni-prediction output in pel domain (clipped).
+
+    Parity: InterPrediction::xPredInterBlk -> InterpolationFilter
+    filterHor(isFirst, !isLast) + filterVer(!isFirst, isLast) shifts.
+    """
+    mvx, mvy = mv_internal
+    int_x = x + (mvx >> MV_FRAC_BITS)
+    int_y = y + (mvy >> MV_FRAC_BITS)
+    frac_x = mvx & 15
+    frac_y = mvy & 15
+    head_room = IF_INTERNAL_PREC - bit_depth
+    clip_hi = (1 << bit_depth) - 1
+
+    if frac_x == 0 and frac_y == 0:
+        return _gather_clamped(ref, int_x, int_y, w, h).astype(np.int32)
+
+    if frac_y == 0:
+        # horizontal only: single pass, isFirst=isLast=true
+        win = _gather_clamped(ref, int_x - 3, int_y, w + 7, h)
+        f = LUMA_FILTER[frac_x].astype(np.int64)
+        acc = sum(f[i] * win[:, i:i + w] for i in range(8))
+        out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+        return np.clip(out, 0, clip_hi).astype(np.int32)
+
+    if frac_x == 0:
+        win = _gather_clamped(ref, int_x, int_y - 3, w, h + 7)
+        f = LUMA_FILTER[frac_y].astype(np.int64)
+        acc = sum(f[i] * win[i:i + h, :] for i in range(8))
+        out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+        return np.clip(out, 0, clip_hi).astype(np.int32)
+
+    # separable: hor first (to internal precision), then ver (to pel)
+    win = _gather_clamped(ref, int_x - 3, int_y - 3, w + 7, h + 7)
+    fx = LUMA_FILTER[frac_x].astype(np.int64)
+    shift1 = IF_FILTER_PREC - head_room
+    off1 = -IF_INTERNAL_OFFS << shift1
+    tmp = sum(fx[i] * win[:, i:i + w] for i in range(8))
+    tmp = (tmp + off1) >> shift1
+
+    fy = LUMA_FILTER[frac_y].astype(np.int64)
+    shift2 = IF_FILTER_PREC + head_room
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+    acc = sum(fy[i] * tmp[i:i + h, :] for i in range(8))
+    out = (acc + off2) >> shift2
+    return np.clip(out, 0, clip_hi).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Motion info maps + AMVP + HMVP
+
+@dataclasses.dataclass(frozen=True)
+class MotionInfo:
+    inter_dir: int = 0             # 0 none, 1 L0, 2 L1, 3 BI
+    mv0: tuple[int, int] = (0, 0)  # internal 1/16
+    mv1: tuple[int, int] = (0, 0)
+    ref0: int = -1
+    ref1: int = -1
+
+
+class MotionField:
+    """Per-4x4-unit motion storage for one frame (SoA)."""
+
+    def __init__(self, w: int, h: int):
+        self.gw, self.gh = w // 4, h // 4
+        self.inter_dir = np.zeros((self.gh, self.gw), np.int8)
+        self.mv0 = np.zeros((self.gh, self.gw, 2), np.int32)
+        self.ref0 = np.full((self.gh, self.gw), -1, np.int8)
+        self.coded = np.zeros((self.gh, self.gw), bool)
+
+    def set_cu(self, x, y, w, h, mi: MotionInfo):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        self.inter_dir[sl] = mi.inter_dir
+        self.mv0[sl] = mi.mv0
+        self.ref0[sl] = mi.ref0
+        self.coded[sl] = True
+
+    def get(self, x, y) -> MotionInfo | None:
+        if x < 0 or y < 0 or x // 4 >= self.gw or y // 4 >= self.gh:
+            return None
+        gy, gx = y // 4, x // 4
+        if not self.coded[gy, gx]:
+            return None
+        if self.inter_dir[gy, gx] == 0:
+            return MotionInfo(0)
+        return MotionInfo(int(self.inter_dir[gy, gx]),
+                          (int(self.mv0[gy, gx, 0]), int(self.mv0[gy, gx, 1])),
+                          (0, 0), int(self.ref0[gy, gx]), -1)
+
+    def region(self, x, y, w, h):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        return (self.inter_dir[sl].copy(), self.mv0[sl].copy(),
+                self.ref0[sl].copy(), self.coded[sl].copy())
+
+    def restore_region(self, x, y, w, h, saved):
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        self.inter_dir[sl], self.mv0[sl], self.ref0[sl], self.coded[sl] = saved
+
+
+def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
+                   x: int, y: int, w: int, h: int,
+                   ref_poc_list0: list[int], ref_idx: int,
+                   tmvp: bool = False) -> list[tuple[int, int]]:
+    """PU::fillMvpCand parity for L0, uni-pred P-slice, imv=0, no TMVP.
+
+    ref_poc_list0: POCs of L0 references (for same-POC matching).
+    Returns exactly AMVP_MAX_NUM_CANDS internal-precision MVs.
+    """
+    assert not tmvp, "TMVP AMVP candidate not implemented yet"
+    curr_ref_poc = ref_poc_list0[ref_idx]
+    cands: list[tuple[int, int]] = []
+
+    def try_pos(px, py):
+        mi = mf.get(px, py)
+        if mi is None or mi.inter_dir == 0:
+            return False
+        # list0 then list1 (we only track L0 for P slices)
+        if mi.ref0 >= 0 and curr_ref_poc == ref_poc_list0[mi.ref0]:
+            cands.append(mi.mv0)
+            return True
+        return False
+
+    # left: below-left then left of bottom-left corner
+    lbx, lby = x, y + h - 1
+    if not try_pos(lbx - 1, lby + 1):
+        try_pos(lbx - 1, lby)
+    # above: above-right, above, above-left
+    rtx, rty = x + w - 1, y
+    if not try_pos(rtx + 1, rty - 1):
+        if not try_pos(rtx, rty - 1):
+            try_pos(x - 1, y - 1)
+
+    cands = [(mv_round_to_quarter(mx), mv_round_to_quarter(my))
+             for mx, my in cands]
+    if len(cands) == 2 and cands[0] == cands[1]:
+        cands = cands[:1]
+
+    # HMVP candidates
+    n_allowed = min(MAX_NUM_HMVP_AMVP_CANDS, len(hmvp))
+    for i in range(n_allowed):
+        if len(cands) >= AMVP_MAX_NUM_CANDS:
+            break
+        mi = hmvp[i]
+        if mi.ref0 >= 0 and curr_ref_poc == ref_poc_list0[mi.ref0]:
+            cands.append((mv_round_to_quarter(mi.mv0[0]),
+                          mv_round_to_quarter(mi.mv0[1])))
+
+    while len(cands) < AMVP_MAX_NUM_CANDS:
+        cands.append((0, 0))
+    return cands[:AMVP_MAX_NUM_CANDS]
+
+
+def hmvp_update(hmvp: list[MotionInfo], mi: MotionInfo):
+    """CodingStructure::addMiToLut parity (FIFO with pruning)."""
+    for i, c in enumerate(hmvp):
+        if c == mi:
+            hmvp.pop(i)
+            break
+    else:
+        if len(hmvp) == MAX_NUM_HMVP_CANDS:
+            hmvp.pop(0)
+    hmvp.append(mi)

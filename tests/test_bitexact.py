@@ -13,7 +13,8 @@ import tempfile
 import numpy as np
 import pytest
 
-from fastintercu_vvc_tpu.codec import hls, intra_encoder
+from fastintercu_vvc_tpu.codec import hls
+from fastintercu_vvc_tpu.codec import encoder as intra_encoder
 
 ORACLE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "oracle", "build", "vtm_decoder")
