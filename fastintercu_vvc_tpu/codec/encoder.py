@@ -247,8 +247,11 @@ class FrameEncoder:
     def encode_frame(self, org: np.ndarray, poc: int = 0,
                      qp: int | None = None,
                      slice_type: int = hls.I_SLICE,
-                     refs: list[tuple[int, np.ndarray]] | None = None
-                     ) -> FrameResult:
+                     refs: list[tuple[int, np.ndarray]] | None = None,
+                     decisions=None) -> FrameResult:
+        """decisions: optional codec.batch_search.SearchDecisions — the
+        batched-search output; when given, the sequential pass only
+        commits (exact recon + syntax), no RD trials."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         H, W = org.shape
@@ -256,6 +259,7 @@ class FrameEncoder:
         cs = cfg.ctu_size
 
         self.slice_type = slice_type
+        self.decisions = decisions
         self.refs = refs or []
         self.ref_pocs = [p for p, _ in self.refs]
         self.poc = poc
@@ -306,6 +310,22 @@ class FrameEncoder:
         ctxs = partition.split_ctx(self.maps, x, y, w, h, qt_depth,
                                    mtt_depth, cans)
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
+
+        if self.decisions is not None:
+            # commit pass: follow the batched search's choices (QT-only)
+            do_split = self.decisions.split.get((x, y, w), False) and can_qt
+            chosen = partition.QT_SPLIT if do_split else partition.NO_SPLIT
+            partition.write_split_mode(enc, chosen, cans, ctxs)
+            if do_split:
+                for (cx, cy, cw, ch) in partition.split_children(
+                        x, y, w, h, partition.QT_SPLIT):
+                    self._compress_cu(cx, cy, cw, ch, qt_depth + 1,
+                                      mtt_depth, partition.QT_SPLIT, None)
+            else:
+                self._encode_leaf(x, y, w, h, qt_depth,
+                                  forced_mode=self.decisions.mode.get(
+                                      (x, y, w)))
+            return 0.0
 
         options = []
         if can_no:
@@ -407,10 +427,24 @@ class FrameEncoder:
         return q, _clip_pel(pred, bd), False
 
     # ------------------------------------------------------------------
-    def _encode_leaf(self, x, y, w, h, qt_depth) -> float:
+    def _encode_leaf(self, x, y, w, h, qt_depth,
+                     forced_mode=None) -> float:
         enc = self.enc
         is_p = self.slice_type == hls.P_SLICE
         blk = self.org[y:y + h, x:x + w]
+
+        if forced_mode is not None:
+            # single-path commit: exact recon + one syntax write
+            top, left = intra.build_refs(self.recon, x, y, w, h,
+                                         self.cfg.bit_depth,
+                                         self._avail_mask())
+            pred = intra.predict(forced_mode, top, left, w, h,
+                                 self.cfg.bit_depth)
+            q, recon, cbf = self._tq_recon(blk, pred)
+            self._write_leaf_intra(x, y, w, h, forced_mode, q, cbf)
+            self.recon[y:y + h, x:x + w] = recon
+            self.maps.mark_intra_cu(x, y, w, h, qt_depth, forced_mode)
+            return float(((blk - recon).astype(np.int64) ** 2).sum())
         base_len = len(enc.out)
         base_state = _EncState.save(enc, base_len)
         base_bits = _EncState.bits(enc)

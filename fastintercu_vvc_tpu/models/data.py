@@ -1,0 +1,101 @@
+"""Training-data pipeline for the MLT-CNN split classifier.
+
+Reference pipeline (mlt-cnn-python): VTM-11 encodes of BVI-DVC dump
+per-CTU PNGs (org/, pred/) + a CSV of (seq, baseQP, poc, x, y, label,
+cuQP); MltCtuORPQDataset loads them (mlt_ctu_or_pq_dataset.py:10-89)
+with labels {0: no-split, 1: QT, 2: BT_H, 3: BT_V} and the coarse-label
+hierarchy gt_to_coarse (:78-89).
+
+Here the extraction is a first-class framework feature: run our own
+encoder, harvest (features, label) pairs directly as arrays — no PNG
+round trip — and train with models.train on a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..codec import hls, encoder as enc_mod, partition
+
+
+def gt_to_coarse(label: int):
+    """Fine class -> (l1, l2, l3) coarse hierarchy
+    (mlt_ctu_or_pq_dataset.py:78-89)."""
+    if label in (0, 1):
+        return label, label, label
+    return 1, 2, label
+
+
+@dataclasses.dataclass
+class SplitSamples:
+    """SoA training set."""
+    org: np.ndarray       # [N, S, S] int
+    pred: np.ndarray      # [N, S, S] int (merge predictor; zeros if none)
+    poc: np.ndarray       # [N]
+    qp: np.ndarray        # [N]
+    label: np.ndarray     # [N] fine label {0: no-split, 1: QT, 2: BT_H, 3: BT_V}
+
+    def save(self, path: str):
+        np.savez_compressed(path, org=self.org, pred=self.pred,
+                            poc=self.poc, qp=self.qp, label=self.label)
+
+    @staticmethod
+    def load(path: str) -> "SplitSamples":
+        d = np.load(path)
+        return SplitSamples(d["org"], d["pred"], d["poc"], d["qp"],
+                            d["label"])
+
+    def to_batch(self, idx, bit_depth: int = 10):
+        """-> dict for models.train (x NHWC features, poc, qp, labels)."""
+        import jax.numpy as jnp
+        from . import mlt_cnn
+        x = mlt_cnn.make_ctu_features(jnp.asarray(self.org[idx]),
+                                      jnp.asarray(self.pred[idx]),
+                                      bit_depth)
+        l1, l2, l3 = zip(*(gt_to_coarse(int(v)) for v in self.label[idx]))
+        return {
+            "x": x,
+            "poc": jnp.asarray(self.poc[idx], jnp.float32),
+            "qp": jnp.asarray(self.qp[idx], jnp.float32),
+            "labels": (jnp.asarray(l1, jnp.int32),
+                       jnp.asarray(l2, jnp.int32),
+                       jnp.asarray(l3, jnp.int32)),
+        }
+
+
+def extract_from_frames(frames: list[np.ndarray], cfg: hls.SeqConfig,
+                        qp: int, max_mtt: int = 1) -> SplitSamples:
+    """Run the sequential RD encoder on intra frames and harvest the
+    CTU-root split decision of the partition search as training labels.
+
+    Labels follow the reference classes: 0 no-split, 1 QT, 2 BT_H,
+    3 BT_V (the level-3 head; EncCu.cpp comment at :909-921)."""
+    orgs, preds, pocs, qps, labels = [], [], [], [], []
+    cs = cfg.ctu_size
+    fe = enc_mod.FrameEncoder(cfg)
+    for poc, frame in enumerate(frames):
+        res = fe.encode_frame(frame, poc=poc, qp=qp)
+        # root decision per CTU from the cu-size map
+        wmap = (res.cu_map >> 16)
+        hmap = res.cu_map & 0xFFFF
+        for cy in range(0, cfg.height, cs):
+            for cx in range(0, cfg.width, cs):
+                gw, gh = int(wmap[cy // 4, cx // 4]), int(hmap[cy // 4, cx // 4])
+                if gw == cs and gh == cs:
+                    label = 0
+                elif gw == cs and gh < cs:
+                    label = 2      # first split was horizontal
+                elif gw < cs and gh == cs:
+                    label = 3      # first split was vertical
+                else:
+                    label = 1      # QT (both dims reduced)
+                orgs.append(frame[cy:cy + cs, cx:cx + cs])
+                preds.append(np.zeros((cs, cs), frame.dtype))
+                pocs.append(poc)
+                qps.append(qp)
+                labels.append(label)
+    return SplitSamples(np.stack(orgs), np.stack(preds),
+                        np.asarray(pocs), np.asarray(qps),
+                        np.asarray(labels))
