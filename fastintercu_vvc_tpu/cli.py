@@ -1,0 +1,97 @@
+"""Command-line interface (EncoderApp/DecoderApp surface parity).
+
+Reference: App/EncoderApp (encmain.cpp:84, ~4k lines of option parsing in
+EncAppCfg.cpp:582). This CLI exposes the working subset and grows with
+the framework.
+
+Usage:
+  python -m fastintercu_vvc_tpu encode -i in.yuv -b out.bin \
+      --width 832 --height 480 --qp 32 --frames 8 [--intra-period 0]
+      [--ctu 64] [--chroma400] [--recon rec.yuv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _encode(args) -> int:
+    from .codec import gop, hls
+    from .utils import yuv
+
+    cfg = hls.SeqConfig(
+        width=args.width, height=args.height, bit_depth=args.bit_depth,
+        chroma_format=hls.CHROMA_400,
+        ctu_size=args.ctu, min_qt_intra=args.min_qt,
+        min_qt_inter=args.min_qt,
+        max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
+        qp=args.qp)
+
+    frames = []
+    for y, _, _ in yuv.read_frames(args.input, args.width, args.height,
+                                   args.bit_depth,
+                                   chroma420=not args.chroma400,
+                                   max_frames=args.frames):
+        frames.append(y)
+    if not frames:
+        print(f"no frames read from {args.input}", file=sys.stderr)
+        return 1
+
+    t0 = time.perf_counter()
+    se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
+                             me_range=args.me_range)
+    res = se.encode(frames, qp=args.qp)
+    dt = time.perf_counter() - t0
+
+    with open(args.bitstream, "wb") as f:
+        f.write(res.bitstream)
+    if args.recon:
+        yuv.write_frames(args.recon, ((r, None, None) for r in res.recons),
+                         args.bit_depth)
+
+    maxv = (1 << args.bit_depth) - 1
+    psnrs = [10 * np.log10(maxv ** 2 / max(np.mean(
+        (r - o).astype(np.float64) ** 2), 1e-9))
+        for r, o in zip(res.recons, frames)]
+    total_bits = sum(res.frame_bits)
+    print(f"encoded {len(frames)} frames ({''.join(res.frame_types)}) "
+          f"in {dt:.1f}s ({len(frames) / dt:.3f} fps)")
+    print(f"total {total_bits} bits, mean PSNR-Y "
+          f"{float(np.mean(psnrs)):.2f} dB")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fastintercu_vvc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode a YUV file to VVC")
+    e.add_argument("-i", "--input", required=True)
+    e.add_argument("-b", "--bitstream", required=True)
+    e.add_argument("--width", type=int, required=True)
+    e.add_argument("--height", type=int, required=True)
+    e.add_argument("--qp", type=int, default=32)
+    e.add_argument("--frames", type=int, default=None)
+    e.add_argument("--bit-depth", type=int, default=10)
+    e.add_argument("--ctu", type=int, default=64)
+    e.add_argument("--min-qt", type=int, default=16)
+    e.add_argument("--max-mtt", type=int, default=0)
+    e.add_argument("--intra-period", type=int, default=0)
+    e.add_argument("--me-range", type=int, default=8)
+    e.add_argument("--chroma400", action="store_true",
+                   help="input is luma-only (4:0:0)")
+    e.add_argument("--recon", default=None,
+                   help="write reconstruction YUV")
+    e.set_defaults(fn=_encode)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

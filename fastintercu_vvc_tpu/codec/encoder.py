@@ -461,7 +461,7 @@ class FrameEncoder:
                 _EncState.save(enc, base_len))
         _EncState.restore(enc, base_state)
 
-        # ----- inter option (P slice, not 4x4) -----
+        # ----- inter options (P slice, not 4x4) -----
         if is_p and not (w == 4 and h == 4) and self.refs:
             it = self._try_inter(x, y, w, h, blk)
             if it is not None:
@@ -469,6 +469,29 @@ class FrameEncoder:
                 cost = write_cost(it[4])
                 if cost < best[0]:
                     best = (cost, "inter", it,
+                            _EncState.save(enc, base_len))
+                _EncState.restore(enc, base_state)
+
+            # merge / skip candidates
+            merge_cands = inter.get_merge_candidates(
+                self.maps, self.hmvp, x, y, w, h, len(self.refs))
+            seen = set()
+            for m_idx, mi in enumerate(merge_cands):
+                key = (mi.mv0, mi.ref0)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if mi.ref0 >= len(self.refs):
+                    continue
+                pred = inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
+                                     mi.mv0, self.cfg.bit_depth)
+                q, recon, cbf = self._tq_recon(blk, pred)
+                ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+                self._write_leaf_merge(x, y, w, h, m_idx, q, cbf)
+                cost = write_cost(ssd)
+                if cost < best[0]:
+                    best = (cost, "merge",
+                            (mi, m_idx, q, ssd, recon, cbf),
                             _EncState.save(enc, base_len))
                 _EncState.restore(enc, base_state)
 
@@ -480,12 +503,19 @@ class FrameEncoder:
             self.recon[y:y + h, x:x + w] = recon
             self.maps.mark_intra_cu(x, y, w, h, qt_depth, mode)
             return ssd
-        else:
+        elif kind == "inter":
             mv, ref_idx, mvp_idx, q, ssd, recon = trial[0], trial[1], \
                 trial[2], trial[3], trial[4], trial[5]
             self.recon[y:y + h, x:x + w] = recon
             self.maps.mark_inter_cu(x, y, w, h, qt_depth, mv, ref_idx)
             mi = inter.MotionInfo(1, mv, (0, 0), ref_idx, -1)
+            inter.hmvp_update(self.hmvp, mi)
+            return ssd
+        else:  # merge / skip
+            mi, m_idx, q, ssd, recon, cbf = trial
+            self.recon[y:y + h, x:x + w] = recon
+            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi.mv0, mi.ref0,
+                                    skip=not cbf)
             inter.hmvp_update(self.hmvp, mi)
             return ssd
 
@@ -523,18 +553,47 @@ class FrameEncoder:
         if cbf:
             residual.write_residual_coding(enc, q, residual.LUMA)
 
-    def _write_skip_predmode(self, x, y, w, h, is_intra):
-        """cu_skip_flag + pred_mode for P slices (skip always 0 here)."""
+    def _write_skip_predmode(self, x, y, w, h, is_intra, skip=False):
+        """cu_skip_flag + pred_mode for P slices."""
         enc = self.enc
         if not (w == 4 and h == 4):
             ctxi = (1 if self.maps.is_skip(x - 1, y) else 0) + \
                 (1 if self.maps.is_skip(x, y - 1) else 0)
-            enc.encode_bin(0, ctx_ids.SkipFlag[0] + ctxi)
+            enc.encode_bin(1 if skip else 0, ctx_ids.SkipFlag[0] + ctxi)
+            if skip:
+                return
             # pred_mode (4x4 is inferred intra; otherwise signalled)
             ctxp = 1 if (self.maps.is_intra(x - 1, y)
                          or self.maps.is_intra(x, y - 1)) else 0
             enc.encode_bin(1 if is_intra else 0,
                            ctx_ids.PredMode[0] + ctxp)
+
+    def _write_merge_idx(self, m_idx):
+        """merge_idx parity (CABACWriter.cpp:154, regular path,
+        numCandminus1 = 5)."""
+        enc = self.enc
+        enc.encode_bin(0 if m_idx == 0 else 1, ctx_ids.MergeIdx[0])
+        if m_idx > 0:
+            for idx in range(1, inter.MRG_MAX_NUM_CANDS - 1):
+                enc.encode_bin_ep(0 if m_idx == idx else 1)
+                if m_idx == idx:
+                    break
+
+    def _write_leaf_merge(self, x, y, w, h, m_idx, q, cbf):
+        """Merge (cbf=1) or skip (cbf=0) CU syntax. MMVD/CIIP/GEO/
+        affine off -> regular merge inferred, merge_idx immediately."""
+        enc = self.enc
+        if not cbf:
+            # skip CU: cu_skip_flag=1 then merge data only
+            self._write_skip_predmode(x, y, w, h, is_intra=False,
+                                      skip=True)
+            self._write_merge_idx(m_idx)
+            return
+        self._write_skip_predmode(x, y, w, h, is_intra=False)
+        enc.encode_bin(1, ctx_ids.MergeFlag[0])
+        self._write_merge_idx(m_idx)
+        # cu_residual: mergeFlag -> no rqt_root_cbf, rootCbf inferred 1
+        residual.write_residual_coding(enc, q, residual.LUMA)
 
     # ------------------------------------------------------------------
     def _try_inter(self, x, y, w, h, blk):

@@ -244,6 +244,95 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
     return cands[:AMVP_MAX_NUM_CANDS]
 
 
+MRG_MAX_NUM_CANDS = 6
+
+
+def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
+                         w: int, h: int, num_l0_refs: int,
+                         max_cand: int = MRG_MAX_NUM_CANDS
+                         ) -> list[MotionInfo]:
+    """PU::getInterMergeCandidates parity (UnitTools.cpp:968) for
+    uni-pred P slices (no TMVP; HMVP; pairwise avg; zero padding).
+
+    mf: object with .get(x, y) -> MotionInfo|None (maps adapter).
+    Returns exactly max_cand candidates in decoder order.
+    """
+    cands: list[MotionInfo] = []
+
+    def neighbor(px, py):
+        mi = mf.get(px, py)
+        if mi is None or mi.inter_dir == 0:
+            return None
+        return mi
+
+    # B1 above (at posRT + (0,-1))
+    b1 = neighbor(x + w - 1, y - 1)
+    if b1 is not None:
+        cands.append(b1)
+    # A1 left (at posLB + (-1,0)), dedup vs B1
+    a1 = neighbor(x - 1, y + h - 1)
+    if a1 is not None and (b1 is None or a1 != b1):
+        cands.append(a1)
+    if len(cands) < max_cand:
+        # B0 above-right, dedup vs B1
+        b0 = neighbor(x + w, y - 1)
+        if b0 is not None and (b1 is None or b0 != b1):
+            cands.append(b0)
+    if len(cands) < max_cand:
+        # A0 below-left, dedup vs A1
+        a0 = neighbor(x - 1, y + h)
+        if a0 is not None and (a1 is None or a0 != a1):
+            cands.append(a0)
+    if len(cands) < max_cand and len(cands) < 4:
+        # B2 above-left, dedup vs A1 and B1
+        b2 = neighbor(x - 1, y - 1)
+        if b2 is not None and (a1 is None or b2 != a1) \
+                and (b1 is None or b2 != b1):
+            cands.append(b2)
+
+    # HMVP (newest first; first two entries dedup vs A1/B1); stops at
+    # max_cand - 1
+    if len(cands) != max_cand - 1:
+        for idx in range(1, len(hmvp) + 1):
+            if len(cands) >= max_cand - 1:
+                break
+            mi = hmvp[len(hmvp) - idx]
+            if idx > 2 or ((a1 is None or mi != a1)
+                           and (b1 is None or mi != b1)):
+                cands.append(mi)
+
+    # pairwise average of candidates 0 and 1
+    if 1 < len(cands) < max_cand:
+        m0, m1 = cands[0], cands[1]
+        r0, r1 = m0.ref0, m1.ref0
+        if r0 >= 0 and r1 >= 0:
+            ax = _round_affine(m0.mv0[0] + m1.mv0[0])
+            ay = _round_affine(m0.mv0[1] + m1.mv0[1])
+            cands.append(MotionInfo(1, (ax, ay), (0, 0), r0, -1))
+        elif r0 >= 0:
+            cands.append(MotionInfo(1, m0.mv0, (0, 0), r0, -1))
+        elif r1 >= 0:
+            cands.append(MotionInfo(1, m1.mv0, (0, 0), r1, -1))
+
+    # zero-MV padding with increasing refIdx
+    r = 0
+    refcnt = 0
+    while len(cands) < max_cand:
+        cands.append(MotionInfo(1, (0, 0), (0, 0), r, -1))
+        if refcnt == num_l0_refs - 1:
+            r = 0
+        else:
+            r += 1
+            refcnt += 1
+    return cands[:max_cand]
+
+
+def _round_affine(v: int, shift: int = 1) -> int:
+    """roundAffineMv parity (Mv.cpp:47)."""
+    offset = 1 << (shift - 1)
+    return (v + offset - (1 if v >= 0 else 0)) >> shift
+
+
 def hmvp_update(hmvp: list[MotionInfo], mi: MotionInfo):
     """CodingStructure::addMiToLut parity (FIFO with pruning)."""
     for i, c in enumerate(hmvp):
