@@ -409,20 +409,19 @@ class FrameEncoder:
         return cands, preds
 
     def _tq_recon(self, blk, pred):
-        """Transform+quant+reconstruct; returns (q, recon, cbf)."""
-        import jax.numpy as jnp
+        """Transform+quant+reconstruct; returns (q, recon, cbf).
+
+        Host-side numpy twin of the batched JAX kernels (same integer
+        math) — avoids per-CU device dispatch in the sequential path."""
+        from ..ops import transforms_np as tnp
         bd = self.cfg.bit_depth
         resi = blk - pred
-        coeff = np.asarray(transforms.fwd_transform_2d(
-            jnp.asarray(resi[None]), bit_depth=bd))[0]
-        q = np.asarray(quant.quant(jnp.asarray(coeff[None]), self.qp_eff,
-                                   bit_depth=bd,
-                                   is_irap=self.slice_type == hls.I_SLICE))[0]
+        coeff = tnp.fwd_transform_2d(resi, bit_depth=bd)
+        q = tnp.quant(coeff, self.qp_eff, bit_depth=bd,
+                      is_irap=self.slice_type == hls.I_SLICE)
         if np.any(q):
-            dq = np.asarray(quant.dequant(jnp.asarray(q[None]), self.qp_eff,
-                                          bit_depth=bd))[0]
-            r = np.asarray(transforms.inv_transform_2d(
-                jnp.asarray(dq[None]), bit_depth=bd))[0]
+            dq = tnp.dequant(q, self.qp_eff, bit_depth=bd)
+            r = tnp.inv_transform_2d(dq, bit_depth=bd)
             return q, _clip_pel(pred + r, bd), True
         return q, _clip_pel(pred, bd), False
 
