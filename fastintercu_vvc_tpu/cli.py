@@ -24,20 +24,20 @@ def _encode(args) -> int:
     from .codec import gop, hls
     from .utils import yuv
 
+    chroma420 = not args.chroma400
     cfg = hls.SeqConfig(
         width=args.width, height=args.height, bit_depth=args.bit_depth,
-        chroma_format=hls.CHROMA_400,
+        chroma_format=hls.CHROMA_420 if chroma420 else hls.CHROMA_400,
         ctu_size=args.ctu, min_qt_intra=args.min_qt,
-        min_qt_inter=args.min_qt,
+        min_qt_inter=args.min_qt, log2_min_cu=3 if chroma420 else 2,
         max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
         qp=args.qp)
 
     frames = []
-    for y, _, _ in yuv.read_frames(args.input, args.width, args.height,
-                                   args.bit_depth,
-                                   chroma420=not args.chroma400,
+    for y, u, v in yuv.read_frames(args.input, args.width, args.height,
+                                   args.bit_depth, chroma420=chroma420,
                                    max_frames=args.frames):
-        frames.append(y)
+        frames.append((y, u, v) if chroma420 else y)
     if not frames:
         print(f"no frames read from {args.input}", file=sys.stderr)
         return 1
@@ -51,13 +51,15 @@ def _encode(args) -> int:
     with open(args.bitstream, "wb") as f:
         f.write(res.bitstream)
     if args.recon:
-        yuv.write_frames(args.recon, ((r, None, None) for r in res.recons),
-                         args.bit_depth)
+        yuv.write_frames(args.recon,
+                         ((r.recon, r.recon_cb, r.recon_cr)
+                          for r in res.recons), args.bit_depth)
 
     maxv = (1 << args.bit_depth) - 1
+    lumas = [f[0] if chroma420 else f for f in frames]
     psnrs = [10 * np.log10(maxv ** 2 / max(np.mean(
-        (r - o).astype(np.float64) ** 2), 1e-9))
-        for r, o in zip(res.recons, frames)]
+        (r.recon - o).astype(np.float64) ** 2), 1e-9))
+        for r, o in zip(res.recons, lumas)]
     total_bits = sum(res.frame_bits)
     print(f"encoded {len(frames)} frames ({''.join(res.frame_types)}) "
           f"in {dt:.1f}s ({len(frames) / dt:.3f} fps)")

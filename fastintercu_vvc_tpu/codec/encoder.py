@@ -1,41 +1,68 @@
-"""Frame encoder (I and P slices) with QTMT partition search:
-monochrome (4:0:0), recursive RD over QT/BT/TT, 67-mode intra + AMVP
-inter with integer/fractional ME, DCT2 + scalar quant, no in-loop
-filters. Produces VVC bitstreams the reference VTM-11 DecoderApp
-decodes bit-exactly to our own reconstruction.
+"""Frame encoder (I and P slices, 4:0:0 and 4:2:0) with QTMT partition
+search: recursive RD over QT/BT/TT, 67-mode luma intra + DM chroma,
+AMVP/merge/skip inter with sub-pel ME, DCT2 + scalar quant, no in-loop
+filters. Produces VVC bitstreams the reference VTM-11 DecoderApp decodes
+bit-exactly to our own reconstruction.
 
 RD search: trial-encode with CABAC state snapshot/rollback — cost =
-SSD(recon) + lambda * exact_bits (sequential analogue of VTM
-EncCu::xCompressCU, EncCu.cpp:541). The batched TPU search replaces
-this loop; syntax writers and kernels are shared.
+SSD(recon, all planes) + lambda * exact_bits (sequential analogue of VTM
+EncCu::xCompressCU, EncCu.cpp:541). The batched TPU search replaces this
+loop; syntax writers and kernels are shared.
+
+4:2:0 notes: single tree, min luma CU 8x8 (keeps chroma blocks >= 4x4 so
+the small-chroma mode-constraint machinery is not needed yet); chroma
+intra is always DM (single context bin, intra_chroma_pred_mode parity);
+chroma QP via the default SPS mapping table (identity to 26, slope-1
+above; ChromaQpMappingTableParams defaults, Slice.h:685-694).
 
 Syntax parity: CABACWriter coding_tree/split_cu_mode (:567),
-coding_unit (:~646: cu_skip_flag, pred_mode), prediction_unit (:~1720:
-merge_flag, mvd_coding, mvp_flag), rqt_root_cbf, intra_luma_pred_modes,
-transform_unit, residual_coding.
+coding_unit (cu_skip_flag, pred_mode), prediction_unit (merge_flag,
+mvd_coding, mvp_flag), merge_idx (:154), rqt_root_cbf,
+intra_luma_pred_modes, intra_chroma_pred_mode, transform_unit (chroma
+cbfs before luma, residual order Y/Cb/Cr), residual_coding.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
-from ..ops import intra, inter, transforms, quant
+from ..ops import intra, inter, transforms_np as tnp
 from . import cabac, contexts, ctx_ids, hls, partition, residual
 
 
 @dataclasses.dataclass
 class FrameResult:
     bitstream: bytes
-    recon: np.ndarray
+    recon: np.ndarray                     # luma
     num_bits: int
     cu_map: np.ndarray | None = None      # per-4x4 (w<<16|h)
     inter_map: np.ndarray | None = None   # per-4x4 inter flag
+    recon_cb: np.ndarray | None = None
+    recon_cr: np.ndarray | None = None
 
 
 def _clip_pel(x, bit_depth):
     return np.clip(x, 0, (1 << bit_depth) - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def chroma_qp_table(bit_depth: int = 10) -> np.ndarray:
+    """Default chroma QP mapping (derivedChromaQPMappingTables parity,
+    Slice.cpp:2977 with the default params: start 26, one point,
+    deltaIn 1, deltaOut 0). Index by QpY in [-QpBdOffset..63] via
+    table[qp + QpBdOffset]."""
+    off = 6 * (bit_depth - 8)
+    tab = np.zeros(64 + off, np.int32)
+    tab[26 + off] = 26
+    for k in range(26 + off - 1, -1, -1):
+        tab[k] = max(-off, tab[k + 1] - 1)
+    tab[27 + off] = 26          # the single interpolated point
+    for k in range(28 + off, 64 + off):
+        tab[k] = min(63, tab[k - 1] + 1)
+    return tab
 
 
 def write_trunc_bin(enc, symbol: int, max_symbol: int):
@@ -86,7 +113,7 @@ def write_mvd(enc, mvd_q: tuple[int, int]):
         enc.encode_bin(1 if vabs > 1 else 0, ctx_ids.Mvd[0] + 1)
     if habs > 0:
         if habs > 1:
-            residual.encode_rem_abs_ep(enc, habs - 2, 1, 0, 17)  # MV_BITS-1
+            residual.encode_rem_abs_ep(enc, habs - 2, 1, 0, 17)
         enc.encode_bin_ep(1 if hor < 0 else 0)
     if vabs > 0:
         if vabs > 1:
@@ -145,6 +172,7 @@ class _Maps:
         self.mode[sl] = mode
         self.inter_dir[sl] = 0
         self.ref0[sl] = -1
+        self.skip[sl] = False
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mv0, ref0, skip=False):
@@ -210,7 +238,6 @@ class _Maps:
             (int(self.mv0[p][0]), int(self.mv0[p][1])),
             (0, 0), int(self.ref0[p]), -1)
 
-    # MotionField-protocol adapter for ops.inter.fill_mvp_cands
     def get(self, x, y):
         return self.motion(x, y)
 
@@ -220,10 +247,13 @@ class FrameEncoder:
 
     def __init__(self, cfg: hls.SeqConfig, num_mode_cands: int = 3,
                  me_range: int = 16):
-        assert cfg.chroma_format == hls.CHROMA_400, "4:0:0 only for now"
         assert cfg.width % cfg.ctu_size == 0
         assert cfg.height % cfg.ctu_size == 0
         assert cfg.ctu_size <= 64, "CTU 128 needs implicit TU split (TODO)"
+        self.chroma = cfg.chroma_format == hls.CHROMA_420
+        if self.chroma:
+            assert cfg.log2_min_cu >= 3, \
+                "4:2:0 needs min luma CU 8x8 (small-chroma constraints TODO)"
         self.cfg = cfg
         self.num_mode_cands = num_mode_cands
         self.me_range = me_range
@@ -244,32 +274,52 @@ class FrameEncoder:
             max_bt_size=cfg.max_bt_inter, max_tt_size=cfg.max_tt_inter,
             max_tb_size=1 << cfg.log2_max_tb)
 
-    def encode_frame(self, org: np.ndarray, poc: int = 0,
-                     qp: int | None = None,
-                     slice_type: int = hls.I_SLICE,
-                     refs: list[tuple[int, np.ndarray]] | None = None,
+    # ------------------------------------------------------------------
+    def encode_frame(self, org, poc: int = 0, qp: int | None = None,
+                     slice_type: int = hls.I_SLICE, refs=None,
                      decisions=None) -> FrameResult:
-        """decisions: optional codec.batch_search.SearchDecisions — the
-        batched-search output; when given, the sequential pass only
-        commits (exact recon + syntax), no RD trials."""
+        """org: luma plane (4:0:0) or (y, u, v) tuple (4:2:0).
+        refs: list of (poc, FrameResult-or-tuple) previous recons.
+        decisions: optional batched-search SearchDecisions (commit-only
+        pass)."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
-        H, W = org.shape
+        if self.chroma:
+            org_y, org_u, org_v = org
+        else:
+            org_y, org_u, org_v = org, None, None
+        H, W = org_y.shape
         assert (H, W) == (cfg.height, cfg.width)
         cs = cfg.ctu_size
 
         self.slice_type = slice_type
         self.decisions = decisions
-        self.refs = refs or []
-        self.ref_pocs = [p for p, _ in self.refs]
+        self.refs = []
+        for item in (refs or []):
+            p, r = item
+            if isinstance(r, FrameResult):
+                self.refs.append((p, r.recon, r.recon_cb, r.recon_cr))
+            elif isinstance(r, tuple):
+                self.refs.append((p,) + tuple(r))
+            else:
+                self.refs.append((p, r, None, None))
+        self.ref_pocs = [e[0] for e in self.refs]
         self.poc = poc
         self.pc = self._pc(slice_type)
-        self.org = org.astype(np.int32)
+        self.org = org_y.astype(np.int32)
         self.recon = np.zeros((H, W), np.int32)
+        if self.chroma:
+            self.org_cb = org_u.astype(np.int32)
+            self.org_cr = org_v.astype(np.int32)
+            self.recon_cb = np.zeros((H // 2, W // 2), np.int32)
+            self.recon_cr = np.zeros((H // 2, W // 2), np.int32)
         self.maps = _Maps(W, H)
         self.hmvp: list[inter.MotionInfo] = []
         self.qp = qp
-        self.qp_eff = qp + 6 * (cfg.bit_depth - 8)
+        bd = cfg.bit_depth
+        self.qp_eff = qp + 6 * (bd - 8)
+        ctab = chroma_qp_table(bd)
+        self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
         self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
 
         bank = contexts.init_bank(
@@ -279,7 +329,7 @@ class FrameEncoder:
         self.enc = enc
 
         for y in range(0, H, cs):
-            self.hmvp = []     # HMVP reset at each CTU row (spec §8.5.2.16)
+            self.hmvp = []     # HMVP reset at each CTU row
             for x in range(0, W, cs):
                 self._compress_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                   None)
@@ -290,16 +340,16 @@ class FrameEncoder:
             pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
                                 nal_type=hls.NAL_IDR_N_LP, qp=qp)
         else:
-            # RPL identifiers: refPOC - currPOC (negative = past;
-            # Slice::constructRefPicList refPOC = POC + identifier)
-            deltas = tuple(p - poc for p, _ in self.refs)
+            deltas = tuple(p - poc for p in self.ref_pocs)
             pic = hls.PicConfig(poc=poc, slice_type=hls.P_SLICE,
                                 nal_type=hls.NAL_TRAIL, qp=qp,
                                 is_irap=False, ref_deltas_l0=deltas)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, enc.tail_bits())])
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
-                           (self.maps.inter_dir > 0).copy())
+                           (self.maps.inter_dir > 0).copy(),
+                           self.recon_cb if self.chroma else None,
+                           self.recon_cr if self.chroma else None)
 
     # ------------------------------------------------------------------
     def _compress_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
@@ -312,7 +362,6 @@ class FrameEncoder:
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
 
         if self.decisions is not None:
-            # commit pass: follow the batched search's choices (QT-only)
             do_split = self.decisions.split.get((x, y, w), False) and can_qt
             chosen = partition.QT_SPLIT if do_split else partition.NO_SPLIT
             partition.write_split_mode(enc, chosen, cans, ctxs)
@@ -345,9 +394,7 @@ class FrameEncoder:
         base_len = len(enc.out)
         base_state = _EncState.save(enc, base_len)
         base_bits = _EncState.bits(enc)
-        recon_save = self.recon[y:y + h, x:x + w].copy()
-        maps_save = self.maps.region(x, y, w, h)
-        hmvp_save = list(self.hmvp)
+        region_save = self._save_region(x, y, w, h)
 
         for split in options:
             partition.write_split_mode(enc, split, cans, ctxs)
@@ -371,24 +418,43 @@ class FrameEncoder:
 
             if best is None or cost < best[0]:
                 best = (cost, _EncState.save(enc, base_len),
-                        self.recon[y:y + h, x:x + w].copy(),
-                        self.maps.region(x, y, w, h), list(self.hmvp))
+                        self._save_region(x, y, w, h))
             _EncState.restore(enc, base_state)
-            self.recon[y:y + h, x:x + w] = recon_save
-            self.maps.restore_region(x, y, w, h, maps_save)
-            self.hmvp = list(hmvp_save)
+            self._restore_region(x, y, w, h, region_save)
 
-        cost, end_state, recon_best, maps_best, hmvp_best = best
+        cost, end_state, region_best = best
         _EncState.restore(enc, end_state)
-        self.recon[y:y + h, x:x + w] = recon_best
-        self.maps.restore_region(x, y, w, h, maps_best)
-        self.hmvp = hmvp_best
+        self._restore_region(x, y, w, h, region_best)
         return cost
+
+    def _save_region(self, x, y, w, h):
+        out = [self.recon[y:y + h, x:x + w].copy(),
+               self.maps.region(x, y, w, h), list(self.hmvp)]
+        if self.chroma:
+            out.append(self.recon_cb[y // 2:(y + h) // 2,
+                                     x // 2:(x + w) // 2].copy())
+            out.append(self.recon_cr[y // 2:(y + h) // 2,
+                                     x // 2:(x + w) // 2].copy())
+        return out
+
+    def _restore_region(self, x, y, w, h, saved):
+        self.recon[y:y + h, x:x + w] = saved[0]
+        self.maps.restore_region(x, y, w, h, saved[1])
+        self.hmvp = list(saved[2])
+        if self.chroma:
+            self.recon_cb[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[3]
+            self.recon_cr[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[4]
 
     def _region_ssd(self, x, y, w, h) -> float:
         d = (self.org[y:y + h, x:x + w]
              - self.recon[y:y + h, x:x + w]).astype(np.int64)
-        return float((d * d).sum())
+        ssd = float((d * d).sum())
+        if self.chroma:
+            sl = np.s_[y // 2:(y + h) // 2, x // 2:(x + w) // 2]
+            dc = (self.org_cb[sl] - self.recon_cb[sl]).astype(np.int64)
+            dr = (self.org_cr[sl] - self.recon_cr[sl]).astype(np.int64)
+            ssd += float((dc * dc).sum() + (dr * dr).sum())
+        return ssd
 
     # ------------------------------------------------------------------
     _FAST_POOL = [0, 1, 2, 10, 18, 26, 34, 42, 50, 58, 66]
@@ -408,206 +474,163 @@ class FrameEncoder:
                 cands.append(m)
         return cands, preds
 
-    def _tq_recon(self, blk, pred):
-        """Transform+quant+reconstruct; returns (q, recon, cbf).
-
-        Host-side numpy twin of the batched JAX kernels (same integer
-        math) — avoids per-CU device dispatch in the sequential path."""
-        from ..ops import transforms_np as tnp
+    def _tq(self, blk, pred, qp_eff):
         bd = self.cfg.bit_depth
-        resi = blk - pred
-        coeff = tnp.fwd_transform_2d(resi, bit_depth=bd)
-        q = tnp.quant(coeff, self.qp_eff, bit_depth=bd,
+        coeff = tnp.fwd_transform_2d(blk - pred, bit_depth=bd)
+        q = tnp.quant(coeff, qp_eff, bit_depth=bd,
                       is_irap=self.slice_type == hls.I_SLICE)
         if np.any(q):
-            dq = tnp.dequant(q, self.qp_eff, bit_depth=bd)
+            dq = tnp.dequant(q, qp_eff, bit_depth=bd)
             r = tnp.inv_transform_2d(dq, bit_depth=bd)
             return q, _clip_pel(pred + r, bd), True
         return q, _clip_pel(pred, bd), False
 
+    def _chroma_intra(self, x, y, w, h, luma_mode):
+        """DM chroma prediction + residual for the CU at luma coords."""
+        xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+        bd = self.cfg.bit_depth
+        outs = []
+        for plane_o, plane_r in ((self.org_cb, self.recon_cb),
+                                 (self.org_cr, self.recon_cr)):
+            top, left = intra.build_refs(plane_r, xc, yc, wc, hc, bd,
+                                         self._avail_mask_chroma())
+            pred = intra.predict(luma_mode, top, left, wc, hc, bd,
+                                 chroma=True)
+            blk = plane_o[yc:yc + hc, xc:xc + wc]
+            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            outs.append((q, recon, cbf, ssd))
+        return outs
+
+    def _chroma_inter(self, x, y, w, h, mi):
+        xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+        ref = self.refs[mi.ref0]
+        outs = []
+        for plane_o, ref_p in ((self.org_cb, ref[2]), (self.org_cr, ref[3])):
+            pred = inter.mc_chroma(ref_p, xc, yc, wc, hc, mi.mv0,
+                                   self.cfg.bit_depth)
+            blk = plane_o[yc:yc + hc, xc:xc + wc]
+            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            outs.append((q, recon, cbf, ssd))
+        return outs
+
+    def _commit_chroma(self, x, y, w, h, chroma_outs):
+        xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+        self.recon_cb[yc:yc + hc, xc:xc + wc] = chroma_outs[0][1]
+        self.recon_cr[yc:yc + hc, xc:xc + wc] = chroma_outs[1][1]
+
     # ------------------------------------------------------------------
-    def _encode_leaf(self, x, y, w, h, qt_depth,
-                     forced_mode=None) -> float:
+    def _encode_leaf(self, x, y, w, h, qt_depth, forced_mode=None) -> float:
         enc = self.enc
         is_p = self.slice_type == hls.P_SLICE
         blk = self.org[y:y + h, x:x + w]
 
         if forced_mode is not None:
-            # single-path commit: exact recon + one syntax write
-            top, left = intra.build_refs(self.recon, x, y, w, h,
-                                         self.cfg.bit_depth,
-                                         self._avail_mask())
-            pred = intra.predict(forced_mode, top, left, w, h,
-                                 self.cfg.bit_depth)
-            q, recon, cbf = self._tq_recon(blk, pred)
-            self._write_leaf_intra(x, y, w, h, forced_mode, q, cbf)
-            self.recon[y:y + h, x:x + w] = recon
-            self.maps.mark_intra_cu(x, y, w, h, qt_depth, forced_mode)
-            return float(((blk - recon).astype(np.int64) ** 2).sum())
+            trial = self._eval_intra_mode(x, y, w, h, blk, forced_mode)
+            self._write_leaf_intra(x, y, w, h, trial)
+            self._commit_intra(x, y, w, h, qt_depth, trial)
+            return trial["ssd"]
+
         base_len = len(enc.out)
         base_state = _EncState.save(enc, base_len)
         base_bits = _EncState.bits(enc)
         best = None
 
-        # ----- intra option -----
-        intra_trial = self._try_intra(x, y, w, h, blk)
-        write_cost = lambda ssd: ssd + self.lam * (_EncState.bits(enc)
-                                                   - base_bits)
-        # write + cost intra
-        self._write_leaf_intra(x, y, w, h, *intra_trial[:3])
-        cost = write_cost(intra_trial[3])
-        best = (cost, "intra", intra_trial,
-                _EncState.save(enc, base_len))
-        _EncState.restore(enc, base_state)
+        def consider(kind, trial):
+            nonlocal best
+            cost = trial["ssd"] + self.lam * (_EncState.bits(enc)
+                                              - base_bits)
+            if best is None or cost < best[0]:
+                best = (cost, kind, trial, _EncState.save(enc, base_len))
+            _EncState.restore(enc, base_state)
 
-        # ----- inter options (P slice, not 4x4) -----
-        if is_p and not (w == 4 and h == 4) and self.refs:
-            it = self._try_inter(x, y, w, h, blk)
-            if it is not None:
-                self._write_leaf_inter(x, y, w, h, *it[:4])
-                cost = write_cost(it[4])
-                if cost < best[0]:
-                    best = (cost, "inter", it,
-                            _EncState.save(enc, base_len))
-                _EncState.restore(enc, base_state)
-
-            # merge / skip candidates
-            merge_cands = inter.get_merge_candidates(
-                self.maps, self.hmvp, x, y, w, h, len(self.refs))
-            seen = set()
-            for m_idx, mi in enumerate(merge_cands):
-                key = (mi.mv0, mi.ref0)
-                if key in seen:
-                    continue
-                seen.add(key)
-                if mi.ref0 >= len(self.refs):
-                    continue
-                pred = inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
-                                     mi.mv0, self.cfg.bit_depth)
-                q, recon, cbf = self._tq_recon(blk, pred)
-                ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-                self._write_leaf_merge(x, y, w, h, m_idx, q, cbf)
-                cost = write_cost(ssd)
-                if cost < best[0]:
-                    best = (cost, "merge",
-                            (mi, m_idx, q, ssd, recon, cbf),
-                            _EncState.save(enc, base_len))
-                _EncState.restore(enc, base_state)
-
-        cost, kind, trial, end_state = best
-        _EncState.restore(enc, end_state)
-        if kind == "intra":
-            mode, q, cbf, ssd, recon = trial[0], trial[1], trial[2], \
-                trial[3], trial[4]
-            self.recon[y:y + h, x:x + w] = recon
-            self.maps.mark_intra_cu(x, y, w, h, qt_depth, mode)
-            return ssd
-        elif kind == "inter":
-            mv, ref_idx, mvp_idx, q, ssd, recon = trial[0], trial[1], \
-                trial[2], trial[3], trial[4], trial[5]
-            self.recon[y:y + h, x:x + w] = recon
-            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mv, ref_idx)
-            mi = inter.MotionInfo(1, mv, (0, 0), ref_idx, -1)
-            inter.hmvp_update(self.hmvp, mi)
-            return ssd
-        else:  # merge / skip
-            mi, m_idx, q, ssd, recon, cbf = trial
-            self.recon[y:y + h, x:x + w] = recon
-            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi.mv0, mi.ref0,
-                                    skip=not cbf)
-            inter.hmvp_update(self.hmvp, mi)
-            return ssd
-
-    # ------------------------------------------------------------------
-    def _try_intra(self, x, y, w, h, blk):
-        """-> (mode, q, cbf, ssd, recon) for best intra mode by RD."""
-        enc = self.enc
+        # ----- intra candidates -----
         top, left = intra.build_refs(self.recon, x, y, w, h,
                                      self.cfg.bit_depth,
                                      self._avail_mask())
         mpm = self._mpms(x, y, w, h)
         cands, preds = self._mode_candidates(blk, top, left, w, h, mpm)
-
-        base_len = len(enc.out)
-        base_state = _EncState.save(enc, base_len)
-        base_bits = _EncState.bits(enc)
-        best = None
         for m in cands:
-            q, recon, cbf = self._tq_recon(blk, preds[m])
-            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-            self._write_leaf_intra(x, y, w, h, m, q, cbf)
-            cost = ssd + self.lam * (_EncState.bits(enc) - base_bits)
-            if best is None or cost < best[0]:
-                best = (cost, (m, q, cbf, ssd, recon))
-            _EncState.restore(enc, base_state)
-        return best[1]
+            trial = self._eval_intra_mode(x, y, w, h, blk, m,
+                                          pred=preds.get(m))
+            self._write_leaf_intra(x, y, w, h, trial)
+            consider("intra", trial)
 
-    def _write_leaf_intra(self, x, y, w, h, mode, q, cbf):
-        enc = self.enc
-        if self.slice_type != hls.I_SLICE:
-            self._write_skip_predmode(x, y, w, h, is_intra=True)
-        mpm = self._mpms(x, y, w, h)
-        write_intra_luma_mode(enc, mode, mpm)
-        enc.encode_bin(1 if cbf else 0, ctx_ids.QtCbf[0][0])
-        if cbf:
-            residual.write_residual_coding(enc, q, residual.LUMA)
+        # ----- inter options (P slice, not 4x4) -----
+        if is_p and not (w == 4 and h == 4) and self.refs:
+            it = self._try_inter_amvp(x, y, w, h, blk)
+            if it is not None:
+                self._write_leaf_inter(x, y, w, h, it)
+                consider("inter", it)
 
-    def _write_skip_predmode(self, x, y, w, h, is_intra, skip=False):
-        """cu_skip_flag + pred_mode for P slices."""
-        enc = self.enc
-        if not (w == 4 and h == 4):
-            ctxi = (1 if self.maps.is_skip(x - 1, y) else 0) + \
-                (1 if self.maps.is_skip(x, y - 1) else 0)
-            enc.encode_bin(1 if skip else 0, ctx_ids.SkipFlag[0] + ctxi)
-            if skip:
-                return
-            # pred_mode (4x4 is inferred intra; otherwise signalled)
-            ctxp = 1 if (self.maps.is_intra(x - 1, y)
-                         or self.maps.is_intra(x, y - 1)) else 0
-            enc.encode_bin(1 if is_intra else 0,
-                           ctx_ids.PredMode[0] + ctxp)
+            merge_cands = inter.get_merge_candidates(
+                self.maps, self.hmvp, x, y, w, h, len(self.refs))
+            seen = set()
+            for m_idx, mi in enumerate(merge_cands):
+                key = (mi.mv0, mi.ref0)
+                if key in seen or mi.ref0 >= len(self.refs):
+                    continue
+                seen.add(key)
+                trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
+                self._write_leaf_merge(x, y, w, h, trial)
+                consider("merge", trial)
 
-    def _write_merge_idx(self, m_idx):
-        """merge_idx parity (CABACWriter.cpp:154, regular path,
-        numCandminus1 = 5)."""
-        enc = self.enc
-        enc.encode_bin(0 if m_idx == 0 else 1, ctx_ids.MergeIdx[0])
-        if m_idx > 0:
-            for idx in range(1, inter.MRG_MAX_NUM_CANDS - 1):
-                enc.encode_bin_ep(0 if m_idx == idx else 1)
-                if m_idx == idx:
-                    break
+        cost, kind, trial, end_state = best
+        _EncState.restore(enc, end_state)
+        if kind == "intra":
+            self._commit_intra(x, y, w, h, qt_depth, trial)
+        elif kind == "inter":
+            self.recon[y:y + h, x:x + w] = trial["recon"]
+            if self.chroma:
+                self._commit_chroma(x, y, w, h, trial["chroma"])
+            self.maps.mark_inter_cu(x, y, w, h, qt_depth, trial["mv"],
+                                    trial["ref_idx"])
+            inter.hmvp_update(self.hmvp, inter.MotionInfo(
+                1, trial["mv"], (0, 0), trial["ref_idx"], -1))
+        else:
+            mi = trial["mi"]
+            self.recon[y:y + h, x:x + w] = trial["recon"]
+            if self.chroma:
+                self._commit_chroma(x, y, w, h, trial["chroma"])
+            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi.mv0, mi.ref0,
+                                    skip=trial["is_skip"])
+            inter.hmvp_update(self.hmvp, mi)
+        return trial["ssd"]
 
-    def _write_leaf_merge(self, x, y, w, h, m_idx, q, cbf):
-        """Merge (cbf=1) or skip (cbf=0) CU syntax. MMVD/CIIP/GEO/
-        affine off -> regular merge inferred, merge_idx immediately."""
-        enc = self.enc
-        if not cbf:
-            # skip CU: cu_skip_flag=1 then merge data only
-            self._write_skip_predmode(x, y, w, h, is_intra=False,
-                                      skip=True)
-            self._write_merge_idx(m_idx)
-            return
-        self._write_skip_predmode(x, y, w, h, is_intra=False)
-        enc.encode_bin(1, ctx_ids.MergeFlag[0])
-        self._write_merge_idx(m_idx)
-        # cu_residual: mergeFlag -> no rqt_root_cbf, rootCbf inferred 1
-        residual.write_residual_coding(enc, q, residual.LUMA)
+    def _commit_intra(self, x, y, w, h, qt_depth, trial):
+        self.recon[y:y + h, x:x + w] = trial["recon"]
+        if self.chroma:
+            self._commit_chroma(x, y, w, h, trial["chroma"])
+        self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"])
 
     # ------------------------------------------------------------------
-    def _try_inter(self, x, y, w, h, blk):
-        """Simple ME + AMVP: -> (mv_internal, ref_idx, mvp_idx, q, ssd,
-        recon) or None."""
+    def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):
+        if pred is None:
+            top, left = intra.build_refs(self.recon, x, y, w, h,
+                                         self.cfg.bit_depth,
+                                         self._avail_mask())
+            pred = intra.predict(mode, top, left, w, h,
+                                 self.cfg.bit_depth)
+        q, recon, cbf = self._tq(blk, pred, self.qp_eff)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        trial = {"mode": mode, "q": q, "cbf": cbf, "recon": recon,
+                 "ssd": ssd, "chroma": None}
+        if self.chroma:
+            ch = self._chroma_intra(x, y, w, h, mode)
+            trial["chroma"] = ch
+            trial["ssd"] += ch[0][3] + ch[1][3]
+        return trial
+
+    def _try_inter_amvp(self, x, y, w, h, blk):
         ref_idx = 0
         ref_plane = self.refs[ref_idx][1]
         mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
                                     self.ref_pocs, ref_idx)
-        # integer full search around the first predictor
         cx = x + (mvps[0][0] >> 4)
         cy = y + (mvps[0][1] >> 4)
         sr = self.me_range
         best_sad, best_int = None, (0, 0)
-        H, W = ref_plane.shape
         for dy in range(-sr, sr + 1):
             for dx in range(-sr, sr + 1):
                 px, py = cx + dx, cy + dy
@@ -617,10 +640,7 @@ class FrameEncoder:
                     best_sad = sad
                     best_int = (px - x, py - y)
         mv = (best_int[0] << 4, best_int[1] << 4)
-        # fractional refinement at quarter-pel signalling precision
-        # (internal step 4 = 1/4 pel; MC phases hit the 8-tap filter)
-        best_cost = None
-        best_mv = mv
+        best_cost, best_mv = None, mv
         for qdy in range(-2, 3):
             for qdx in range(-2, 3):
                 cand = (mv[0] + 4 * qdx, mv[1] + 4 * qdy)
@@ -630,42 +650,154 @@ class FrameEncoder:
                 if best_cost is None or cost < best_cost:
                     best_cost, best_mv = cost, cand
         mv = best_mv
-        # pick mvp minimizing mvd magnitude
+
         def mvd_q(mvp):
             return (inter.mv_internal_to_quarter(mv[0] - mvp[0]),
                     inter.mv_internal_to_quarter(mv[1] - mvp[1]))
         costs = [abs(mvd_q(p)[0]) + abs(mvd_q(p)[1]) for p in mvps]
         mvp_idx = int(np.argmin(costs))
         mvd = mvd_q(mvps[mvp_idx])
-        # exactness: mv must equal mvp + (mvd << 2)
-        mv_check = (mvps[mvp_idx][0] + (mvd[0] << 2),
-                    mvps[mvp_idx][1] + (mvd[1] << 2))
-        if mv_check != mv:
-            return None  # (cannot happen with quarter-aligned mvp)
-        pred = inter.mc_luma(ref_plane, x, y, w, h, mv,
-                             self.cfg.bit_depth)
-        q, recon, cbf = self._tq_recon(blk, pred)
+        if (mvps[mvp_idx][0] + (mvd[0] << 2),
+                mvps[mvp_idx][1] + (mvd[1] << 2)) != mv:
+            return None
+        pred = inter.mc_luma(ref_plane, x, y, w, h, mv, self.cfg.bit_depth)
+        q, recon, cbf = self._tq(blk, pred, self.qp_eff)
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-        return (mv, ref_idx, mvp_idx, q, ssd, recon, mvd)
+        trial = {"mv": mv, "ref_idx": ref_idx, "mvp_idx": mvp_idx,
+                 "mvd": mvd, "q": q, "cbf": cbf, "recon": recon,
+                 "ssd": ssd, "chroma": None}
+        if self.chroma:
+            mi = inter.MotionInfo(1, mv, (0, 0), ref_idx, -1)
+            ch = self._chroma_inter(x, y, w, h, mi)
+            trial["chroma"] = ch
+            trial["ssd"] += ch[0][3] + ch[1][3]
+        return trial
 
-    def _write_leaf_inter(self, x, y, w, h, mv, ref_idx, mvp_idx, q):
+    def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
+        pred = inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h, mi.mv0,
+                             self.cfg.bit_depth)
+        q, recon, cbf = self._tq(blk, pred, self.qp_eff)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        trial = {"mi": mi, "m_idx": m_idx, "q": q, "cbf": cbf,
+                 "recon": recon, "ssd": ssd, "chroma": None}
+        if self.chroma:
+            ch = self._chroma_inter(x, y, w, h, mi)
+            trial["chroma"] = ch
+            trial["ssd"] += ch[0][3] + ch[1][3]
+        any_cbf = cbf or (trial["chroma"] is not None
+                          and (trial["chroma"][0][2] or trial["chroma"][1][2]))
+        if not any_cbf:
+            # zero residual -> skip CU; recon = prediction on all planes
+            trial["is_skip"] = True
+        else:
+            trial["is_skip"] = False
+        return trial
+
+    # ------------------------------------------------------------------
+    # syntax writers
+
+    def _write_chroma_cbfs_and_residuals(self, trial, luma_cbf_signalled,
+                                         luma_cbf_ctx_write=True,
+                                         is_intra=True):
+        """transform_unit parity: cbf_cb, cbf_cr (before luma cbf), then
+        residual Y, Cb, Cr."""
+        enc = self.enc
+        ch = trial["chroma"]
+        cbf_cb = ch is not None and ch[0][2]
+        cbf_cr = ch is not None and ch[1][2]
+        if self.chroma:
+            enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
+            enc.encode_bin(1 if cbf_cr else 0,
+                           ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
+        if luma_cbf_ctx_write:
+            enc.encode_bin(1 if trial["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        if trial["cbf"]:
+            residual.write_residual_coding(enc, trial["q"], residual.LUMA)
+        if cbf_cb:
+            residual.write_residual_coding(enc, ch[0][0], residual.CHROMA)
+        if cbf_cr:
+            residual.write_residual_coding(enc, ch[1][0], residual.CHROMA)
+
+    def _write_leaf_intra(self, x, y, w, h, trial):
+        enc = self.enc
+        if self.slice_type != hls.I_SLICE:
+            self._write_skip_predmode(x, y, w, h, is_intra=True)
+        mpm = self._mpms(x, y, w, h)
+        write_intra_luma_mode(enc, trial["mode"], mpm)
+        if self.chroma:
+            # intra_chroma_pred_mode: DM -> single 0 bin (cclm off)
+            enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
+        self._write_chroma_cbfs_and_residuals(trial, True, True)
+
+    def _write_skip_predmode(self, x, y, w, h, is_intra, skip=False):
+        enc = self.enc
+        if not (w == 4 and h == 4):
+            ctxi = (1 if self.maps.is_skip(x - 1, y) else 0) + \
+                (1 if self.maps.is_skip(x, y - 1) else 0)
+            enc.encode_bin(1 if skip else 0, ctx_ids.SkipFlag[0] + ctxi)
+            if skip:
+                return
+            ctxp = 1 if (self.maps.is_intra(x - 1, y)
+                         or self.maps.is_intra(x, y - 1)) else 0
+            enc.encode_bin(1 if is_intra else 0,
+                           ctx_ids.PredMode[0] + ctxp)
+
+    def _write_merge_idx(self, m_idx):
+        enc = self.enc
+        enc.encode_bin(0 if m_idx == 0 else 1, ctx_ids.MergeIdx[0])
+        if m_idx > 0:
+            for idx in range(1, inter.MRG_MAX_NUM_CANDS - 1):
+                enc.encode_bin_ep(0 if m_idx == idx else 1)
+                if m_idx == idx:
+                    break
+
+    def _write_leaf_merge(self, x, y, w, h, trial):
+        enc = self.enc
+        if trial["is_skip"]:
+            self._write_skip_predmode(x, y, w, h, is_intra=False,
+                                      skip=True)
+            self._write_merge_idx(trial["m_idx"])
+            return
+        self._write_skip_predmode(x, y, w, h, is_intra=False)
+        enc.encode_bin(1, ctx_ids.MergeFlag[0])
+        self._write_merge_idx(trial["m_idx"])
+        # merge -> rootCbf inferred 1; transform_unit
+        self._write_inter_tu(trial)
+
+    def _write_inter_tu(self, trial):
+        """Inter transform_unit: chroma cbfs, luma cbf written only when
+        chroma has coefficients (else inferred 1)."""
+        enc = self.enc
+        ch = trial["chroma"]
+        cbf_cb = ch is not None and ch[0][2]
+        cbf_cr = ch is not None and ch[1][2]
+        if self.chroma:
+            enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
+            enc.encode_bin(1 if cbf_cr else 0,
+                           ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
+        sig_chroma = cbf_cb or cbf_cr
+        if sig_chroma:
+            enc.encode_bin(1 if trial["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        # else luma cbf inferred 1 (rootCbf constraint)
+        if trial["cbf"]:
+            residual.write_residual_coding(enc, trial["q"], residual.LUMA)
+        if cbf_cb:
+            residual.write_residual_coding(enc, ch[0][0], residual.CHROMA)
+        if cbf_cr:
+            residual.write_residual_coding(enc, ch[1][0], residual.CHROMA)
+
+    def _write_leaf_inter(self, x, y, w, h, trial):
         enc = self.enc
         self._write_skip_predmode(x, y, w, h, is_intra=False)
-        enc.encode_bin(0, ctx_ids.MergeFlag[0])      # merge_flag = 0
-        # inter_pred_idc: P slice -> nothing; affine/smvd off
-        # ref_idx: single ref -> nothing
-        mvp = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
-                                   self.ref_pocs, ref_idx)[mvp_idx]
-        mvd = (inter.mv_internal_to_quarter(mv[0] - mvp[0]),
-               inter.mv_internal_to_quarter(mv[1] - mvp[1]))
-        write_mvd(enc, mvd)
-        enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
-        # imv off, bcw off
-        cbf = bool(np.any(q))
-        enc.encode_bin(1 if cbf else 0, ctx_ids.QtRootCbf[0])
-        if cbf:
-            # 400: luma cbf inferred 1 -> residual directly
-            residual.write_residual_coding(enc, q, residual.LUMA)
+        enc.encode_bin(0, ctx_ids.MergeFlag[0])
+        write_mvd(enc, trial["mvd"])
+        enc.encode_bin(trial["mvp_idx"], ctx_ids.MVPIdx[0])
+        root_cbf = trial["cbf"] or (
+            trial["chroma"] is not None
+            and (trial["chroma"][0][2] or trial["chroma"][1][2]))
+        enc.encode_bin(1 if root_cbf else 0, ctx_ids.QtRootCbf[0])
+        if root_cbf:
+            self._write_inter_tu(trial)
 
     # ------------------------------------------------------------------
     def _mpms(self, x, y, w, h):
@@ -688,6 +820,13 @@ class FrameEncoder:
             return bool(maps.coded[by // 4, bx // 4])
         return mask
 
+    def _avail_mask_chroma(self):
+        lmask = self._avail_mask()
 
-# Backwards-compatible alias (tests, earlier milestones)
+        def mask(bx, by):
+            return lmask(2 * bx, 2 * by)
+        return mask
+
+
+# Backwards-compatible alias
 IntraFrameEncoder = FrameEncoder

@@ -20,9 +20,13 @@ from . import encoder, hls
 @dataclasses.dataclass
 class SequenceResult:
     bitstream: bytes
-    recons: list
+    recons: list            # FrameResult per frame
     frame_bits: list
     frame_types: list
+
+    @property
+    def luma_recons(self):
+        return [r.recon for r in self.recons]
 
 
 def split_nals(bs: bytes) -> list[bytes]:
@@ -82,8 +86,8 @@ class SequenceEncoder:
             if poc == 0:
                 nals.extend(frame_nals[:2])       # SPS + PPS once
             nals.append(frame_nals[2])            # the slice NAL
-            ref_queue.append((poc, r.recon))
-            recons.append(r.recon)
+            ref_queue.append((poc, r))
+            recons.append(r)
             bits.append(r.num_bits)
 
         return SequenceResult(annexb(nals), recons, bits, types)

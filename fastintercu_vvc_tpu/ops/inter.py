@@ -244,6 +244,53 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
     return cands[:AMVP_MAX_NUM_CANDS]
 
 
+# 4-tap 32-phase chroma MC filter (spec Table 33)
+from .intra import CHROMA_FILTER  # noqa: E402  (shared normative table)
+
+
+def mc_chroma(ref: np.ndarray, xc: int, yc: int, w: int, h: int,
+              mv_internal: tuple[int, int], bit_depth: int = 10
+              ) -> np.ndarray:
+    """Chroma MC for a 4:2:0 block at chroma coords (xc, yc) with the
+    LUMA internal-precision MV (chroma phase = mv & 31 in 1/32 chroma
+    pel; integer part = mv >> 5 chroma samples)."""
+    mvx, mvy = mv_internal
+    int_x = xc + (mvx >> 5)
+    int_y = yc + (mvy >> 5)
+    frac_x = mvx & 31
+    frac_y = mvy & 31
+    head_room = IF_INTERNAL_PREC - bit_depth
+    clip_hi = (1 << bit_depth) - 1
+
+    if frac_x == 0 and frac_y == 0:
+        return _gather_clamped(ref, int_x, int_y, w, h).astype(np.int32)
+    if frac_y == 0:
+        win = _gather_clamped(ref, int_x - 1, int_y, w + 3, h)
+        f = CHROMA_FILTER[frac_x].astype(np.int64)
+        acc = sum(f[i] * win[:, i:i + w] for i in range(4))
+        out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+        return np.clip(out, 0, clip_hi).astype(np.int32)
+    if frac_x == 0:
+        win = _gather_clamped(ref, int_x, int_y - 1, w, h + 3)
+        f = CHROMA_FILTER[frac_y].astype(np.int64)
+        acc = sum(f[i] * win[i:i + h, :] for i in range(4))
+        out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+        return np.clip(out, 0, clip_hi).astype(np.int32)
+
+    win = _gather_clamped(ref, int_x - 1, int_y - 1, w + 3, h + 3)
+    fx = CHROMA_FILTER[frac_x].astype(np.int64)
+    shift1 = IF_FILTER_PREC - head_room
+    off1 = -IF_INTERNAL_OFFS << shift1
+    tmp = sum(fx[i] * win[:, i:i + w] for i in range(4))
+    tmp = (tmp + off1) >> shift1
+    fy = CHROMA_FILTER[frac_y].astype(np.int64)
+    shift2 = IF_FILTER_PREC + head_room
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+    acc = sum(fy[i] * tmp[i:i + h, :] for i in range(4))
+    out = (acc + off2) >> shift2
+    return np.clip(out, 0, clip_hi).astype(np.int32)
+
+
 MRG_MAX_NUM_CANDS = 6
 
 

@@ -240,9 +240,11 @@ def _pdpc_planar_dc(pred, top, left):
 
 def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
                     w: int, h: int, params=None,
-                    bit_depth: int = 10) -> np.ndarray:
-    """xPredIntraAng parity (luma, refIdx 0). top/left must already be
-    filtered if params['refFilter']."""
+                    bit_depth: int = 10, chroma: bool = False
+                    ) -> np.ndarray:
+    """xPredIntraAng parity (refIdx 0). top/left must already be
+    filtered if params['refFilter']. chroma=True uses the 2-tap linear
+    interpolation (IntraPrediction.cpp:~590 'Do linear filtering')."""
     if params is None:
         params = pred_params(mode, w, h)
     pred_mode = params["predMode"]
@@ -297,18 +299,27 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
             delta_fract = delta_pos & 31
             xs = np.arange(width)
             if not is_integer_slope(abs(ang)):
-                if use_cubic:
+                if chroma:
+                    p0 = refMain[off + delta_int + 1 + xs]
+                    p1 = refMain[off + delta_int + 2 + xs]
+                    pred[yy, :] = p0 + ((delta_fract * (p1 - p0) + 16) >> 5)
+                elif use_cubic:
                     f = CHROMA_FILTER[delta_fract]
+                    base = off + delta_int + xs
+                    val = (f[0] * refMain[base] + f[1] * refMain[base + 1]
+                           + f[2] * refMain[base + 2]
+                           + f[3] * refMain[base + 3] + 32) >> 6
+                    pred[yy, :] = np.clip(val, 0, clip_hi)
                 else:
                     f = np.asarray([16 - (delta_fract >> 1),
                                     32 - (delta_fract >> 1),
                                     16 + (delta_fract >> 1),
                                     delta_fract >> 1], np.int32)
-                base = off + delta_int + xs
-                val = (f[0] * refMain[base] + f[1] * refMain[base + 1]
-                       + f[2] * refMain[base + 2] + f[3] * refMain[base + 3]
-                       + 32) >> 6
-                pred[yy, :] = np.clip(val, 0, clip_hi)
+                    base = off + delta_int + xs
+                    val = (f[0] * refMain[base] + f[1] * refMain[base + 1]
+                           + f[2] * refMain[base + 2]
+                           + f[3] * refMain[base + 3] + 32) >> 6
+                    pred[yy, :] = np.clip(val, 0, clip_hi)
             else:
                 pred[yy, :] = refMain[off + delta_int + 1 + xs]
             if params["applyPDPC"]:
@@ -327,10 +338,13 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
 
 
 def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
-            bit_depth: int = 10) -> np.ndarray:
-    """Full luma intra prediction incl. PDPC. top/left are UNFILTERED;
-    smoothing is applied internally per the MDIS rules."""
+            bit_depth: int = 10, chroma: bool = False) -> np.ndarray:
+    """Full intra prediction incl. PDPC. top/left are UNFILTERED;
+    smoothing is applied internally per the MDIS rules (luma only —
+    initPredIntraParams disables smoothing for chroma)."""
     params = pred_params(mode, w, h)
+    if chroma:
+        params = dict(params, refFilter=False)
     if params["refFilter"]:
         top, left = filter_refs(top, left)
     if mode == PLANAR_IDX:
@@ -342,7 +356,8 @@ def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
         if params["applyPDPC"]:
             p = _pdpc_planar_dc(p, top, left)
     else:
-        p = predict_angular(mode, top, left, w, h, params, bit_depth)
+        p = predict_angular(mode, top, left, w, h, params, bit_depth,
+                            chroma=chroma)
     return p
 
 

@@ -92,7 +92,7 @@ def test_ippp_gop_bitexact():
     res = se.encode(frames)
     dec = oracle_decode_n(res.bitstream, w, h, 4)
     for t in range(4):
-        np.testing.assert_array_equal(dec[t], res.recons[t],
+        np.testing.assert_array_equal(dec[t], res.recons[t].recon,
                                       err_msg=f"frame {t}")
     assert res.frame_types == ["I", "P", "P", "P"]
     # P frames should beat intra coding cost on this content
@@ -113,4 +113,4 @@ def test_p_frame_partition_search_bitexact():
     res = se.encode(frames)
     dec = oracle_decode_n(res.bitstream, w, h, 2)
     for t in range(2):
-        np.testing.assert_array_equal(dec[t], res.recons[t])
+        np.testing.assert_array_equal(dec[t], res.recons[t].recon)
