@@ -163,32 +163,49 @@ class _Maps:
         self.inter_dir = np.zeros(shp, np.int8)
         self.mv0 = np.zeros(shp + (2,), np.int32)  # internal 1/16
         self.ref0 = np.full(shp, -1, np.int8)
+        self.ref_poc = np.full(shp, -1, np.int32)
+        self.cu_x0 = np.zeros(shp, np.int32)
+        self.cu_y0 = np.zeros(shp, np.int32)
+        self.cbf_y = np.zeros(shp, bool)
+        self.cbf_cb = np.zeros(shp, bool)
+        self.cbf_cr = np.zeros(shp, bool)
 
-    def mark_intra_cu(self, x, y, w, h, qt_depth, mode):
+    def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
+                      cbfs=(False, False, False)):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
+        self.cu_x0[sl] = x
+        self.cu_y0[sl] = y
         self.qt_d[sl] = qt_depth
         self.mode[sl] = mode
         self.inter_dir[sl] = 0
         self.ref0[sl] = -1
+        self.ref_poc[sl] = -1
         self.skip[sl] = False
+        self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
-    def mark_inter_cu(self, x, y, w, h, qt_depth, mv0, ref0, skip=False):
+    def mark_inter_cu(self, x, y, w, h, qt_depth, mv0, ref0, skip=False,
+                      cbfs=(False, False, False), ref_poc=-1):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
+        self.cu_x0[sl] = x
+        self.cu_y0[sl] = y
         self.qt_d[sl] = qt_depth
         self.mode[sl] = -1
         self.inter_dir[sl] = 1
         self.mv0[sl] = mv0
         self.ref0[sl] = ref0
+        self.ref_poc[sl] = ref_poc
         self.skip[sl] = skip
+        self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
-               "inter_dir", "mv0", "ref0")
+               "inter_dir", "mv0", "ref0", "ref_poc", "cu_x0", "cu_y0",
+               "cbf_y", "cbf_cb", "cbf_cr")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -333,6 +350,21 @@ class FrameEncoder:
             for x in range(0, W, cs):
                 self._compress_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                   None)
+
+        if cfg.deblocking:
+            from ..ops import deblock
+            m = self.maps
+            info = deblock.DeblockInfo(
+                m.cu_x0, m.cu_y0, m.cu_w, m.cu_h,
+                m.mode >= 0, m.cbf_y, m.cbf_cb, m.cbf_cr,
+                m.mv0, m.ref_poc)
+            qp_c_for_db = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
+                if self.chroma else qp
+            deblock.deblock_frame(
+                self.recon,
+                self.recon_cb if self.chroma else None,
+                self.recon_cr if self.chroma else None,
+                info, qp, qp_c_for_db, bd, cs)
 
         enc.encode_bin_trm(1)
         payload = enc.finish()
@@ -585,7 +617,9 @@ class FrameEncoder:
             if self.chroma:
                 self._commit_chroma(x, y, w, h, trial["chroma"])
             self.maps.mark_inter_cu(x, y, w, h, qt_depth, trial["mv"],
-                                    trial["ref_idx"])
+                                    trial["ref_idx"],
+                                    cbfs=self._trial_cbfs(trial),
+                                    ref_poc=self.ref_pocs[trial["ref_idx"]])
             inter.hmvp_update(self.hmvp, inter.MotionInfo(
                 1, trial["mv"], (0, 0), trial["ref_idx"], -1))
         else:
@@ -594,15 +628,25 @@ class FrameEncoder:
             if self.chroma:
                 self._commit_chroma(x, y, w, h, trial["chroma"])
             self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi.mv0, mi.ref0,
-                                    skip=trial["is_skip"])
+                                    skip=trial["is_skip"],
+                                    cbfs=self._trial_cbfs(trial),
+                                    ref_poc=self.ref_pocs[mi.ref0])
             inter.hmvp_update(self.hmvp, mi)
         return trial["ssd"]
+
+    @staticmethod
+    def _trial_cbfs(trial):
+        ch = trial.get("chroma")
+        return (trial["cbf"],
+                bool(ch is not None and ch[0][2]),
+                bool(ch is not None and ch[1][2]))
 
     def _commit_intra(self, x, y, w, h, qt_depth, trial):
         self.recon[y:y + h, x:x + w] = trial["recon"]
         if self.chroma:
             self._commit_chroma(x, y, w, h, trial["chroma"])
-        self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"])
+        self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"],
+                                cbfs=self._trial_cbfs(trial))
 
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):
