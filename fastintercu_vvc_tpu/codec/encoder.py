@@ -164,6 +164,9 @@ class _Maps:
         self.mv0 = np.zeros(shp + (2,), np.int32)  # internal 1/16
         self.ref0 = np.full(shp, -1, np.int8)
         self.ref_poc = np.full(shp, -1, np.int32)
+        self.mv1 = np.zeros(shp + (2,), np.int32)
+        self.ref1 = np.full(shp, -1, np.int8)
+        self.ref_poc1 = np.full(shp, -1, np.int32)
         self.cu_x0 = np.zeros(shp, np.int32)
         self.cu_y0 = np.zeros(shp, np.int32)
         self.cbf_y = np.zeros(shp, bool)
@@ -186,8 +189,9 @@ class _Maps:
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
-    def mark_inter_cu(self, x, y, w, h, qt_depth, mv0, ref0, skip=False,
-                      cbfs=(False, False, False), ref_poc=-1):
+    def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
+                      cbfs=(False, False, False), ref_poc0=-1,
+                      ref_poc1=-1):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
@@ -195,17 +199,20 @@ class _Maps:
         self.cu_y0[sl] = y
         self.qt_d[sl] = qt_depth
         self.mode[sl] = -1
-        self.inter_dir[sl] = 1
-        self.mv0[sl] = mv0
-        self.ref0[sl] = ref0
-        self.ref_poc[sl] = ref_poc
+        self.inter_dir[sl] = mi.inter_dir
+        self.mv0[sl] = mi.mv0
+        self.ref0[sl] = mi.ref0
+        self.ref_poc[sl] = ref_poc0
+        self.mv1[sl] = mi.mv1
+        self.ref1[sl] = mi.ref1
+        self.ref_poc1[sl] = ref_poc1
         self.skip[sl] = skip
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
-               "inter_dir", "mv0", "ref0", "ref_poc", "cu_x0", "cu_y0",
-               "cbf_y", "cbf_cb", "cbf_cr")
+               "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
+               "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -253,7 +260,8 @@ class _Maps:
         return inter.MotionInfo(
             int(self.inter_dir[p]),
             (int(self.mv0[p][0]), int(self.mv0[p][1])),
-            (0, 0), int(self.ref0[p]), -1)
+            (int(self.mv1[p][0]), int(self.mv1[p][1])),
+            int(self.ref0[p]), int(self.ref1[p]))
 
     def get(self, x, y):
         return self.motion(x, y)
@@ -294,11 +302,10 @@ class FrameEncoder:
     # ------------------------------------------------------------------
     def encode_frame(self, org, poc: int = 0, qp: int | None = None,
                      slice_type: int = hls.I_SLICE, refs=None,
-                     decisions=None) -> FrameResult:
+                     refs_l1=None, decisions=None) -> FrameResult:
         """org: luma plane (4:0:0) or (y, u, v) tuple (4:2:0).
-        refs: list of (poc, FrameResult-or-tuple) previous recons.
-        decisions: optional batched-search SearchDecisions (commit-only
-        pass)."""
+        refs: L0 list of (poc, FrameResult-or-tuple); refs_l1: L1 list
+        for B slices. decisions: optional batched-search decisions."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         if self.chroma:
@@ -311,16 +318,22 @@ class FrameEncoder:
 
         self.slice_type = slice_type
         self.decisions = decisions
-        self.refs = []
-        for item in (refs or []):
-            p, r = item
-            if isinstance(r, FrameResult):
-                self.refs.append((p, r.recon, r.recon_cb, r.recon_cr))
-            elif isinstance(r, tuple):
-                self.refs.append((p,) + tuple(r))
-            else:
-                self.refs.append((p, r, None, None))
+
+        def norm_refs(lst):
+            out = []
+            for item in (lst or []):
+                p, r = item
+                if isinstance(r, FrameResult):
+                    out.append((p, r.recon, r.recon_cb, r.recon_cr))
+                elif isinstance(r, tuple):
+                    out.append((p,) + tuple(r))
+                else:
+                    out.append((p, r, None, None))
+            return out
+        self.refs = norm_refs(refs)
+        self.refs_l1 = norm_refs(refs_l1)
         self.ref_pocs = [e[0] for e in self.refs]
+        self.ref_pocs_l1 = [e[0] for e in self.refs_l1]
         self.poc = poc
         self.pc = self._pc(slice_type)
         self.org = org_y.astype(np.int32)
@@ -339,9 +352,10 @@ class FrameEncoder:
         self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
         self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
 
-        bank = contexts.init_bank(
-            contexts.I_SLICE if slice_type == hls.I_SLICE
-            else contexts.P_SLICE, qp)
+        ctx_slice = {hls.I_SLICE: contexts.I_SLICE,
+                     hls.P_SLICE: contexts.P_SLICE,
+                     hls.B_SLICE: contexts.B_SLICE}[slice_type]
+        bank = contexts.init_bank(ctx_slice, qp)
         enc = cabac.CabacEncoder(bank)
         self.enc = enc
 
@@ -357,7 +371,8 @@ class FrameEncoder:
             info = deblock.DeblockInfo(
                 m.cu_x0, m.cu_y0, m.cu_w, m.cu_h,
                 m.mode >= 0, m.cbf_y, m.cbf_cb, m.cbf_cr,
-                m.mv0, m.ref_poc)
+                m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
+                slice_is_b=self.slice_type == hls.B_SLICE)
             qp_c_for_db = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
                 if self.chroma else qp
             deblock.deblock_frame(
@@ -372,10 +387,12 @@ class FrameEncoder:
             pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
                                 nal_type=hls.NAL_IDR_N_LP, qp=qp)
         else:
-            deltas = tuple(p - poc for p in self.ref_pocs)
-            pic = hls.PicConfig(poc=poc, slice_type=hls.P_SLICE,
+            deltas0 = tuple(p - poc for p in self.ref_pocs)
+            deltas1 = tuple(p - poc for p in self.ref_pocs_l1)
+            pic = hls.PicConfig(poc=poc, slice_type=slice_type,
                                 nal_type=hls.NAL_TRAIL, qp=qp,
-                                is_irap=False, ref_deltas_l0=deltas)
+                                is_irap=False, ref_deltas_l0=deltas0,
+                                ref_deltas_l1=deltas1)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, enc.tail_bits())])
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
@@ -534,13 +551,40 @@ class FrameEncoder:
             outs.append((q, recon, cbf, ssd))
         return outs
 
+    def _motion_pred_luma(self, x, y, w, h, mi):
+        bd = self.cfg.bit_depth
+        if mi.inter_dir == 1:
+            return inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
+                                 mi.mv0, bd)
+        if mi.inter_dir == 2:
+            return inter.mc_luma(self.refs_l1[mi.ref1][1], x, y, w, h,
+                                 mi.mv1, bd)
+        a = inter.mc_luma_intermediate(self.refs[mi.ref0][1], x, y, w, h,
+                                       mi.mv0, bd)
+        b = inter.mc_luma_intermediate(self.refs_l1[mi.ref1][1], x, y,
+                                       w, h, mi.mv1, bd)
+        return inter.bi_avg(a, b, bd)
+
+    def _motion_pred_chroma(self, xc, yc, wc, hc, mi, plane_idx):
+        bd = self.cfg.bit_depth
+        if mi.inter_dir == 1:
+            return inter.mc_chroma(self.refs[mi.ref0][2 + plane_idx],
+                                   xc, yc, wc, hc, mi.mv0, bd)
+        if mi.inter_dir == 2:
+            return inter.mc_chroma(self.refs_l1[mi.ref1][2 + plane_idx],
+                                   xc, yc, wc, hc, mi.mv1, bd)
+        a = inter.mc_chroma_intermediate(
+            self.refs[mi.ref0][2 + plane_idx], xc, yc, wc, hc, mi.mv0, bd)
+        b = inter.mc_chroma_intermediate(
+            self.refs_l1[mi.ref1][2 + plane_idx], xc, yc, wc, hc,
+            mi.mv1, bd)
+        return inter.bi_avg(a, b, bd)
+
     def _chroma_inter(self, x, y, w, h, mi):
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
-        ref = self.refs[mi.ref0]
         outs = []
-        for plane_o, ref_p in ((self.org_cb, ref[2]), (self.org_cr, ref[3])):
-            pred = inter.mc_chroma(ref_p, xc, yc, wc, hc, mi.mv0,
-                                   self.cfg.bit_depth)
+        for pi, plane_o in enumerate((self.org_cb, self.org_cr)):
+            pred = self._motion_pred_chroma(xc, yc, wc, hc, mi, pi)
             blk = plane_o[yc:yc + hc, xc:xc + wc]
             q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
             ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
@@ -555,7 +599,7 @@ class FrameEncoder:
     # ------------------------------------------------------------------
     def _encode_leaf(self, x, y, w, h, qt_depth, forced_mode=None) -> float:
         enc = self.enc
-        is_p = self.slice_type == hls.P_SLICE
+        is_inter_slice = self.slice_type != hls.I_SLICE
         blk = self.org[y:y + h, x:x + w]
 
         if forced_mode is not None:
@@ -589,19 +633,23 @@ class FrameEncoder:
             self._write_leaf_intra(x, y, w, h, trial)
             consider("intra", trial)
 
-        # ----- inter options (P slice, not 4x4) -----
-        if is_p and not (w == 4 and h == 4) and self.refs:
-            it = self._try_inter_amvp(x, y, w, h, blk)
-            if it is not None:
+        # ----- inter options (P/B slice, not 4x4) -----
+        if is_inter_slice and not (w == 4 and h == 4) and self.refs:
+            for it in self._try_inter_amvp(x, y, w, h, blk):
                 self._write_leaf_inter(x, y, w, h, it)
                 consider("inter", it)
 
             merge_cands = inter.get_merge_candidates(
-                self.maps, self.hmvp, x, y, w, h, len(self.refs))
+                self.maps, self.hmvp, x, y, w, h,
+                min(1, len(self.refs)),
+                num_l1_refs=min(1, len(self.refs_l1)))
             seen = set()
             for m_idx, mi in enumerate(merge_cands):
-                key = (mi.mv0, mi.ref0)
-                if key in seen or mi.ref0 >= len(self.refs):
+                key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
+                if key in seen:
+                    continue
+                if mi.ref0 >= len(self.refs) or \
+                        (mi.inter_dir & 2 and mi.ref1 >= len(self.refs_l1)):
                     continue
                 seen.add(key)
                 trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
@@ -612,25 +660,17 @@ class FrameEncoder:
         _EncState.restore(enc, end_state)
         if kind == "intra":
             self._commit_intra(x, y, w, h, qt_depth, trial)
-        elif kind == "inter":
-            self.recon[y:y + h, x:x + w] = trial["recon"]
-            if self.chroma:
-                self._commit_chroma(x, y, w, h, trial["chroma"])
-            self.maps.mark_inter_cu(x, y, w, h, qt_depth, trial["mv"],
-                                    trial["ref_idx"],
-                                    cbfs=self._trial_cbfs(trial),
-                                    ref_poc=self.ref_pocs[trial["ref_idx"]])
-            inter.hmvp_update(self.hmvp, inter.MotionInfo(
-                1, trial["mv"], (0, 0), trial["ref_idx"], -1))
         else:
             mi = trial["mi"]
             self.recon[y:y + h, x:x + w] = trial["recon"]
             if self.chroma:
                 self._commit_chroma(x, y, w, h, trial["chroma"])
-            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi.mv0, mi.ref0,
-                                    skip=trial["is_skip"],
+            rp0 = self.ref_pocs[mi.ref0] if mi.ref0 >= 0 else -1
+            rp1 = self.ref_pocs_l1[mi.ref1] if mi.ref1 >= 0 else -1
+            self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi,
+                                    skip=trial.get("is_skip", False),
                                     cbfs=self._trial_cbfs(trial),
-                                    ref_poc=self.ref_pocs[mi.ref0])
+                                    ref_poc0=rp0, ref_poc1=rp1)
             inter.hmvp_update(self.hmvp, mi)
         return trial["ssd"]
 
@@ -666,11 +706,16 @@ class FrameEncoder:
             trial["ssd"] += ch[0][3] + ch[1][3]
         return trial
 
-    def _try_inter_amvp(self, x, y, w, h, blk):
-        ref_idx = 0
-        ref_plane = self.refs[ref_idx][1]
+    def _me_uni(self, x, y, w, h, blk, lst):
+        """Integer + quarter-pel ME against ref 0 of one list.
+        -> (mv_internal, mvp_idx, mvd_quarter) or None."""
+        refs = self.refs if lst == 0 else self.refs_l1
+        if not refs:
+            return None
+        ref_plane = refs[0][1]
         mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
-                                    self.ref_pocs, ref_idx)
+                                    self.ref_pocs, 0, target_list=lst,
+                                    ref_poc_list1=self.ref_pocs_l1)
         cx = x + (mvps[0][0] >> 4)
         cy = y + (mvps[0][1] >> 4)
         sr = self.me_range
@@ -688,9 +733,9 @@ class FrameEncoder:
         for qdy in range(-2, 3):
             for qdx in range(-2, 3):
                 cand = (mv[0] + 4 * qdx, mv[1] + 4 * qdy)
-                p = inter.mc_luma(ref_plane, x, y, w, h, cand,
-                                  self.cfg.bit_depth)
-                cost = int(np.abs(blk - p).sum())
+                pr = inter.mc_luma(ref_plane, x, y, w, h, cand,
+                                   self.cfg.bit_depth)
+                cost = int(np.abs(blk - pr).sum())
                 if best_cost is None or cost < best_cost:
                     best_cost, best_mv = cost, cand
         mv = best_mv
@@ -698,28 +743,50 @@ class FrameEncoder:
         def mvd_q(mvp):
             return (inter.mv_internal_to_quarter(mv[0] - mvp[0]),
                     inter.mv_internal_to_quarter(mv[1] - mvp[1]))
-        costs = [abs(mvd_q(p)[0]) + abs(mvd_q(p)[1]) for p in mvps]
+        costs = [abs(mvd_q(pp)[0]) + abs(mvd_q(pp)[1]) for pp in mvps]
         mvp_idx = int(np.argmin(costs))
         mvd = mvd_q(mvps[mvp_idx])
         if (mvps[mvp_idx][0] + (mvd[0] << 2),
                 mvps[mvp_idx][1] + (mvd[1] << 2)) != mv:
             return None
-        pred = inter.mc_luma(ref_plane, x, y, w, h, mv, self.cfg.bit_depth)
+        return mv, mvp_idx, mvd
+
+    def _finish_inter_trial(self, x, y, w, h, blk, mi, sig):
+        pred = self._motion_pred_luma(x, y, w, h, mi)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-        trial = {"mv": mv, "ref_idx": ref_idx, "mvp_idx": mvp_idx,
-                 "mvd": mvd, "q": q, "cbf": cbf, "recon": recon,
-                 "ssd": ssd, "chroma": None}
+        trial = {"mi": mi, "sig": sig, "q": q, "cbf": cbf,
+                 "recon": recon, "ssd": ssd, "chroma": None}
         if self.chroma:
-            mi = inter.MotionInfo(1, mv, (0, 0), ref_idx, -1)
             ch = self._chroma_inter(x, y, w, h, mi)
             trial["chroma"] = ch
             trial["ssd"] += ch[0][3] + ch[1][3]
         return trial
 
+    def _try_inter_amvp(self, x, y, w, h, blk):
+        """AMVP trials: uni-L0 (P/B), uni-L1 and bi (B).
+        Each trial carries `sig` = per-list (mvp_idx, mvd) signalling."""
+        trials = []
+        is_b = self.slice_type == hls.B_SLICE and self.refs_l1
+        r0 = self._me_uni(x, y, w, h, blk, 0)
+        r1 = self._me_uni(x, y, w, h, blk, 1) if is_b else None
+        if r0 is not None:
+            mi = inter.MotionInfo(1, r0[0], (0, 0), 0, -1)
+            trials.append(self._finish_inter_trial(
+                x, y, w, h, blk, mi, {0: (r0[1], r0[2])}))
+        if r1 is not None:
+            mi = inter.MotionInfo(2, (0, 0), r1[0], -1, 0)
+            trials.append(self._finish_inter_trial(
+                x, y, w, h, blk, mi, {1: (r1[1], r1[2])}))
+        if r0 is not None and r1 is not None:
+            mi = inter.MotionInfo(3, r0[0], r1[0], 0, 0)
+            trials.append(self._finish_inter_trial(
+                x, y, w, h, blk, mi,
+                {0: (r0[1], r0[2]), 1: (r1[1], r1[2])}))
+        return trials
+
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
-        pred = inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h, mi.mv0,
-                             self.cfg.bit_depth)
+        pred = self._motion_pred_luma(x, y, w, h, mi)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
         trial = {"mi": mi, "m_idx": m_idx, "q": q, "cbf": cbf,
@@ -832,10 +899,29 @@ class FrameEncoder:
 
     def _write_leaf_inter(self, x, y, w, h, trial):
         enc = self.enc
+        mi = trial["mi"]
+        sig = trial["sig"]
         self._write_skip_predmode(x, y, w, h, is_intra=False)
         enc.encode_bin(0, ctx_ids.MergeFlag[0])
-        write_mvd(enc, trial["mvd"])
-        enc.encode_bin(trial["mvp_idx"], ctx_ids.MVPIdx[0])
+        if self.slice_type == hls.B_SLICE:
+            # inter_pred_idc (CABACWriter.cpp:244; ctx CtxInterDir)
+            ctx_id = 7 - (((w.bit_length() - 1)
+                           + (h.bit_length() - 1) + 1) >> 1)
+            if mi.inter_dir == 3:
+                enc.encode_bin(1, ctx_ids.InterDir[0] + ctx_id)
+            else:
+                enc.encode_bin(0, ctx_ids.InterDir[0] + ctx_id)
+                enc.encode_bin(1 if mi.inter_dir == 2 else 0,
+                               ctx_ids.InterDir[0] + 5)
+        if mi.inter_dir != 2:
+            # L0: ref_idx (single ref -> nothing), mvd, mvp
+            mvp_idx, mvd = sig[0]
+            write_mvd(enc, mvd)
+            enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
+        if mi.inter_dir != 1:
+            mvp_idx, mvd = sig[1]
+            write_mvd(enc, mvd)
+            enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
         root_cbf = trial["cbf"] or (
             trial["chroma"] is not None
             and (trial["chroma"][0][2] or trial["chroma"][1][2]))

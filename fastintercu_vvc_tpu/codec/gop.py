@@ -52,7 +52,7 @@ def split_nals(bs: bytes) -> list[bytes]:
 
 
 class SequenceEncoder:
-    """Low-delay IPPP encoder over a list of frames (luma planes)."""
+    """Low-delay IPPP encoder over a list of frames."""
 
     def __init__(self, cfg: hls.SeqConfig, intra_period: int = 0,
                  num_refs: int = 1, **enc_kwargs):
@@ -91,3 +91,99 @@ class SequenceEncoder:
             bits.append(r.num_bits)
 
         return SequenceResult(annexb(nals), recons, bits, types)
+
+
+class RandomAccessEncoder:
+    """Hierarchical-B random-access encoder (capability parity with the
+    CTC RA config's GOP pyramid, EncGOP::compressGOP coding-order
+    machinery; mini-GOP of `gop_size`, dyadic B pyramid).
+
+    Coding order per GOP: anchor first (P, referencing the previous
+    anchor), then the dyadic midpoints as B slices with L0 = nearest
+    past coded frame, L1 = nearest future coded frame.
+
+    The SPS must be configured with num_reorder_pics >= log2(gop_size)
+    and max_dec_pic_buffering >= 4 (the caller's SeqConfig).
+    """
+
+    def __init__(self, cfg: hls.SeqConfig, gop_size: int = 4,
+                 **enc_kwargs):
+        assert gop_size & (gop_size - 1) == 0, "gop_size must be 2^n"
+        assert cfg.num_reorder_pics >= max(
+            1, gop_size.bit_length() - 1), \
+            "SeqConfig.num_reorder_pics too small for the B pyramid"
+        self.cfg = cfg
+        self.gop_size = gop_size
+        self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
+
+    def _gop_coding_order(self, lo: int, hi: int):
+        """[(poc, l0_poc, l1_poc, tid)] for the open interval (lo, hi)."""
+        out = []
+
+        def rec(a, b, tid):
+            if b - a < 2:
+                return
+            mid = (a + b) // 2
+            out.append((mid, a, b, tid))
+            rec(a, mid, tid + 1)
+            rec(mid, b, tid + 1)
+        rec(lo, hi, 1)
+        return out
+
+    def encode(self, frames: list, qp: int | None = None
+               ) -> SequenceResult:
+        n = len(frames)
+        done: dict[int, object] = {}
+        nals = []
+        order_log = []
+
+        def emit(poc, r, typ):
+            frame_nals = split_nals(r.bitstream)
+            if not nals:
+                nals.extend(frame_nals[:2])
+            nals.append(frame_nals[2])
+            done[poc] = r
+            order_log.append((poc, typ, r.num_bits))
+
+        # IDR
+        r = self.frame_encoder.encode_frame(frames[0], poc=0, qp=qp,
+                                            slice_type=hls.I_SLICE)
+        emit(0, r, "I")
+
+        base = 0
+        while base < n - 1:
+            anchor = min(base + self.gop_size, n - 1)
+            order = self._gop_coding_order(base, anchor)
+            r = self.frame_encoder.encode_frame(
+                frames[anchor], poc=anchor, qp=qp,
+                slice_type=hls.P_SLICE, refs=[(base, done[base])])
+            emit(anchor, r, "P")
+            for i, (poc, l0, l1, tid) in enumerate(order):
+                # DPB retention: the RPL must list every picture still
+                # needed by later frames of this GOP (and the anchor for
+                # the next GOP), else the decoder drops it
+                needed = {anchor, l0, l1}
+                for (p2, a2, b2, _) in order[i + 1:]:
+                    needed.update((a2, b2))
+                needed.discard(poc)
+                # only already-decoded pictures exist in the DPB
+                needed &= set(done.keys())
+                past = sorted((p for p in needed if p < poc),
+                              reverse=True)
+                future = sorted(p for p in needed if p > poc)
+                # primary refs first (nearest past / nearest future)
+                assert past[0] == l0 and future[0] == l1, (poc, past,
+                                                           future, l0, l1)
+                refs_l0 = [(p2, done[p2]) for p2 in past]
+                refs_l1 = [(p2, done[p2]) for p2 in future]
+                r = self.frame_encoder.encode_frame(
+                    frames[poc], poc=poc, qp=qp, slice_type=hls.B_SLICE,
+                    refs=refs_l0, refs_l1=refs_l1)
+                emit(poc, r, "B")
+            base = anchor
+
+        recons = [done[p] for p in range(n)]
+        bits = [done[p].num_bits for p in range(n)]
+        types_by_poc = {p: t for (p, t, _) in order_log}
+        return SequenceResult(annexb(nals), recons, bits,
+                              [types_by_poc[p] for p in range(n)])

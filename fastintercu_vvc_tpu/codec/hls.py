@@ -376,10 +376,9 @@ def _write_rpl(w: BitWriter, deltas: tuple):
         delta = d - prev if i else d    # delta vs previous entry
         prev = d
         abs_d = abs(delta)
-        if i == 0:
-            w.write_uvlc(abs_d - 1)     # abs_delta_poc_st (minus1 form)
-        else:
-            w.write_uvlc(abs_d)
+        # without weighted prediction every entry uses the minus1 form
+        # (xCodeRefPicList isForbiddenZeroDeltaPoc || ii == 0)
+        w.write_uvlc(abs_d - 1)
         if abs_d > 0:
             w.write_flag(1 if delta < 0 else 0)  # strp_entry_sign_flag
 

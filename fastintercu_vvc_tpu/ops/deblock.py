@@ -48,8 +48,11 @@ class DeblockInfo:
     cbf_y: np.ndarray
     cbf_cb: np.ndarray
     cbf_cr: np.ndarray
-    mv: np.ndarray         # [gh, gw, 2] internal 1/16
-    ref_poc: np.ndarray    # -1 when not inter
+    mv: np.ndarray         # [gh, gw, 2] internal 1/16 (L0)
+    ref_poc: np.ndarray    # -1 when not inter / no L0
+    mv1: np.ndarray | None = None        # L1
+    ref_poc1: np.ndarray | None = None
+    slice_is_b: bool = False
 
     def at(self, x, y):
         return y // 4, x // 4
@@ -267,27 +270,50 @@ def _pel_filter_chroma(line, tc, sw, clip_hi, large_boundary,
         line[0] = min(max(m4 - delta, 0), clip_hi)
 
 
+def _mv_ge(a, b, thr=8):
+    return abs(int(a[0]) - int(b[0])) >= thr or \
+        abs(int(a[1]) - int(b[1])) >= thr
+
+
 def _bs_luma(info: DeblockInfo, xq, yq, hor):
     """Luma boundary strength at sample position (xq, yq) against the
-    P neighbor (left or above). -> 0/1/2."""
+    P neighbor (left or above). -> 0/1/2
+    (xGetBoundaryStrengthSingle parity incl. the B-slice both-lists
+    rule, UnitTools/LoopFilter.cpp:717-905)."""
     gq = info.at(xq, yq)
     gp = info.at(xq - (0 if hor else 4), yq - (4 if hor else 0))
     if info.is_intra[gq] or info.is_intra[gp]:
         return 2
     if info.cbf_y[gq] or info.cbf_y[gp]:
         return 1
-    # P-slice uni-pred MV rule
-    rp, rq = int(info.ref_poc[gp]), int(info.ref_poc[gq])
-    if rp < 0 or rq < 0:
-        return 0 if rp == rq else 1
-    if rp != rq:
+
+    zero = (0, 0)
+    p0, q0 = int(info.ref_poc[gp]), int(info.ref_poc[gq])
+    if info.mv1 is not None and info.slice_is_b:
+        p1 = int(info.ref_poc1[gp])
+        q1 = int(info.ref_poc1[gq])
+        mvp0 = tuple(info.mv[gp]) if p0 >= 0 else zero
+        mvp1 = tuple(info.mv1[gp]) if p1 >= 0 else zero
+        mvq0 = tuple(info.mv[gq]) if q0 >= 0 else zero
+        mvq1 = tuple(info.mv1[gq]) if q1 >= 0 else zero
+        if ((p0 == q0 and p1 == q1) or (p0 == q1 and p1 == q0)):
+            if p0 != p1:
+                if p0 == q0:
+                    return 1 if (_mv_ge(mvq0, mvp0)
+                                 or _mv_ge(mvq1, mvp1)) else 0
+                return 1 if (_mv_ge(mvq1, mvp0)
+                             or _mv_ge(mvq0, mvp1)) else 0
+            a = _mv_ge(mvq0, mvp0) or _mv_ge(mvq1, mvp1)
+            b = _mv_ge(mvq1, mvp0) or _mv_ge(mvq0, mvp1)
+            return 1 if (a and b) else 0
         return 1
-    mvp, mvq = info.mv[gp], info.mv[gq]
-    thr = 8   # (1 << 4) >> 1
-    if abs(int(mvq[0]) - int(mvp[0])) >= thr or \
-            abs(int(mvq[1]) - int(mvp[1])) >= thr:
+
+    # P-slice uni-pred rule
+    if p0 < 0 or q0 < 0:
+        return 0 if p0 == q0 else 1
+    if p0 != q0:
         return 1
-    return 0
+    return 1 if _mv_ge(info.mv[gq], info.mv[gp]) else 0
 
 
 def _bs_chroma(info: DeblockInfo, xq, yq, hor):

@@ -140,6 +140,91 @@ def mc_luma(ref: np.ndarray, x: int, y: int, w: int, h: int,
     return np.clip(out, 0, clip_hi).astype(np.int32)
 
 
+def _leftshift_round(x, shift):
+    return x << shift if shift >= 0 else (x + (1 << (-shift - 1))) >> -shift
+
+
+def mc_luma_intermediate(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                         mv_internal, bit_depth: int = 10) -> np.ndarray:
+    """Luma MC to the 14-bit intermediate domain (for bi-prediction;
+    InterpolationFilter isLast=false paths + filterCopy isFirst branch)."""
+    mvx, mvy = mv_internal
+    int_x = x + (mvx >> MV_FRAC_BITS)
+    int_y = y + (mvy >> MV_FRAC_BITS)
+    frac_x = mvx & 15
+    frac_y = mvy & 15
+    head_room = IF_INTERNAL_PREC - bit_depth
+
+    if frac_x == 0 and frac_y == 0:
+        win = _gather_clamped(ref, int_x, int_y, w, h)
+        return (_leftshift_round(win, head_room) - IF_INTERNAL_OFFS
+                ).astype(np.int32)
+    shift1 = IF_FILTER_PREC - head_room
+    off1 = -IF_INTERNAL_OFFS << shift1
+    if frac_y == 0:
+        win = _gather_clamped(ref, int_x - 3, int_y, w + 7, h)
+        f = LUMA_FILTER[frac_x].astype(np.int64)
+        acc = sum(f[i] * win[:, i:i + w] for i in range(8))
+        return ((acc + off1) >> shift1).astype(np.int32)
+    if frac_x == 0:
+        win = _gather_clamped(ref, int_x, int_y - 3, w, h + 7)
+        f = LUMA_FILTER[frac_y].astype(np.int64)
+        acc = sum(f[i] * win[i:i + h, :] for i in range(8))
+        return ((acc + off1) >> shift1).astype(np.int32)
+    win = _gather_clamped(ref, int_x - 3, int_y - 3, w + 7, h + 7)
+    fx = LUMA_FILTER[frac_x].astype(np.int64)
+    tmp = sum(fx[i] * win[:, i:i + w] for i in range(8))
+    tmp = (tmp + off1) >> shift1
+    fy = LUMA_FILTER[frac_y].astype(np.int64)
+    acc = sum(fy[i] * tmp[i:i + h, :] for i in range(8))
+    return (acc >> IF_FILTER_PREC).astype(np.int32)
+
+
+def mc_chroma_intermediate(ref: np.ndarray, xc: int, yc: int, w: int,
+                           h: int, mv_internal,
+                           bit_depth: int = 10) -> np.ndarray:
+    """Chroma MC to the intermediate domain (bi-prediction)."""
+    mvx, mvy = mv_internal
+    int_x = xc + (mvx >> 5)
+    int_y = yc + (mvy >> 5)
+    frac_x = mvx & 31
+    frac_y = mvy & 31
+    head_room = IF_INTERNAL_PREC - bit_depth
+
+    if frac_x == 0 and frac_y == 0:
+        win = _gather_clamped(ref, int_x, int_y, w, h)
+        return (_leftshift_round(win, head_room) - IF_INTERNAL_OFFS
+                ).astype(np.int32)
+    shift1 = IF_FILTER_PREC - head_room
+    off1 = -IF_INTERNAL_OFFS << shift1
+    if frac_y == 0:
+        win = _gather_clamped(ref, int_x - 1, int_y, w + 3, h)
+        f = CHROMA_FILTER[frac_x].astype(np.int64)
+        acc = sum(f[i] * win[:, i:i + w] for i in range(4))
+        return ((acc + off1) >> shift1).astype(np.int32)
+    if frac_x == 0:
+        win = _gather_clamped(ref, int_x, int_y - 1, w, h + 3)
+        f = CHROMA_FILTER[frac_y].astype(np.int64)
+        acc = sum(f[i] * win[i:i + h, :] for i in range(4))
+        return ((acc + off1) >> shift1).astype(np.int32)
+    win = _gather_clamped(ref, int_x - 1, int_y - 1, w + 3, h + 3)
+    fx = CHROMA_FILTER[frac_x].astype(np.int64)
+    tmp = sum(fx[i] * win[:, i:i + w] for i in range(4))
+    tmp = (tmp + off1) >> shift1
+    fy = CHROMA_FILTER[frac_y].astype(np.int64)
+    acc = sum(fy[i] * tmp[i:i + h, :] for i in range(4))
+    return (acc >> IF_FILTER_PREC).astype(np.int32)
+
+
+def bi_avg(a: np.ndarray, b: np.ndarray, bit_depth: int = 10) -> np.ndarray:
+    """PelBuf::addAvg parity: average two intermediate-domain preds back
+    to the pel domain (Buffer.cpp:447-458)."""
+    shift_num = (IF_INTERNAL_PREC - bit_depth) + 1
+    offset = (1 << (shift_num - 1)) + 2 * IF_INTERNAL_OFFS
+    out = (a.astype(np.int64) + b.astype(np.int64) + offset) >> shift_num
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Motion info maps + AMVP + HMVP
 
@@ -194,31 +279,41 @@ class MotionField:
 def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
                    x: int, y: int, w: int, h: int,
                    ref_poc_list0: list[int], ref_idx: int,
-                   tmvp: bool = False) -> list[tuple[int, int]]:
-    """PU::fillMvpCand parity for L0, uni-pred P-slice, imv=0, no TMVP.
+                   tmvp: bool = False, target_list: int = 0,
+                   ref_poc_list1: list[int] | None = None
+                   ) -> list[tuple[int, int]]:
+    """PU::fillMvpCand parity (imv=0, no TMVP), either list.
 
-    ref_poc_list0: POCs of L0 references (for same-POC matching).
+    Neighbor candidates match when the POC of their reference (examined
+    list first, then the other) equals the current target reference POC.
     Returns exactly AMVP_MAX_NUM_CANDS internal-precision MVs.
     """
     assert not tmvp, "TMVP AMVP candidate not implemented yet"
-    curr_ref_poc = ref_poc_list0[ref_idx]
+    ref_poc_list1 = ref_poc_list1 if ref_poc_list1 is not None else []
+    pocs = (ref_poc_list0, ref_poc_list1)
+    curr_ref_poc = pocs[target_list][ref_idx]
     cands: list[tuple[int, int]] = []
+
+    def mi_ref_mv(mi, lst):
+        if lst == 0:
+            return mi.ref0, mi.mv0
+        return mi.ref1, mi.mv1
 
     def try_pos(px, py):
         mi = mf.get(px, py)
         if mi is None or mi.inter_dir == 0:
             return False
-        # list0 then list1 (we only track L0 for P slices)
-        if mi.ref0 >= 0 and curr_ref_poc == ref_poc_list0[mi.ref0]:
-            cands.append(mi.mv0)
-            return True
+        for lst in (target_list, 1 - target_list):
+            r, mv = mi_ref_mv(mi, lst)
+            if r >= 0 and lst < 2 and r < len(pocs[lst]) \
+                    and curr_ref_poc == pocs[lst][r]:
+                cands.append(mv)
+                return True
         return False
 
-    # left: below-left then left of bottom-left corner
     lbx, lby = x, y + h - 1
     if not try_pos(lbx - 1, lby + 1):
         try_pos(lbx - 1, lby)
-    # above: above-right, above, above-left
     rtx, rty = x + w - 1, y
     if not try_pos(rtx + 1, rty - 1):
         if not try_pos(rtx, rty - 1):
@@ -229,15 +324,21 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
 
-    # HMVP candidates
     n_allowed = min(MAX_NUM_HMVP_AMVP_CANDS, len(hmvp))
     for i in range(n_allowed):
         if len(cands) >= AMVP_MAX_NUM_CANDS:
             break
         mi = hmvp[i]
-        if mi.ref0 >= 0 and curr_ref_poc == ref_poc_list0[mi.ref0]:
-            cands.append((mv_round_to_quarter(mi.mv0[0]),
-                          mv_round_to_quarter(mi.mv0[1])))
+        # VTM examines both lists of each LUT entry and may take both
+        # (addAMVPHMVPCand inner predictorSource loop)
+        for lst in (target_list, 1 - target_list):
+            if len(cands) >= AMVP_MAX_NUM_CANDS:
+                break
+            r, mv = mi_ref_mv(mi, lst)
+            if r >= 0 and r < len(pocs[lst]) \
+                    and curr_ref_poc == pocs[lst][r]:
+                cands.append((mv_round_to_quarter(mv[0]),
+                              mv_round_to_quarter(mv[1])))
 
     while len(cands) < AMVP_MAX_NUM_CANDS:
         cands.append((0, 0))
@@ -296,14 +397,15 @@ MRG_MAX_NUM_CANDS = 6
 
 def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
                          w: int, h: int, num_l0_refs: int,
-                         max_cand: int = MRG_MAX_NUM_CANDS
-                         ) -> list[MotionInfo]:
-    """PU::getInterMergeCandidates parity (UnitTools.cpp:968) for
-    uni-pred P slices (no TMVP; HMVP; pairwise avg; zero padding).
+                         max_cand: int = MRG_MAX_NUM_CANDS,
+                         num_l1_refs: int = 0) -> list[MotionInfo]:
+    """PU::getInterMergeCandidates parity (UnitTools.cpp:968) for P and
+    B slices (no TMVP; HMVP; pairwise avg; zero padding).
 
     mf: object with .get(x, y) -> MotionInfo|None (maps adapter).
     Returns exactly max_cand candidates in decoder order.
     """
+    is_b = num_l1_refs > 0
     cands: list[MotionInfo] = []
 
     def neighbor(px, py):
@@ -348,25 +450,45 @@ def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
                            and (b1 is None or mi != b1)):
                 cands.append(mi)
 
-    # pairwise average of candidates 0 and 1
+    # pairwise average of candidates 0 and 1 (per list)
     if 1 < len(cands) < max_cand:
         m0, m1 = cands[0], cands[1]
-        r0, r1 = m0.ref0, m1.ref0
-        if r0 >= 0 and r1 >= 0:
-            ax = _round_affine(m0.mv0[0] + m1.mv0[0])
-            ay = _round_affine(m0.mv0[1] + m1.mv0[1])
-            cands.append(MotionInfo(1, (ax, ay), (0, 0), r0, -1))
-        elif r0 >= 0:
-            cands.append(MotionInfo(1, m0.mv0, (0, 0), r0, -1))
-        elif r1 >= 0:
-            cands.append(MotionInfo(1, m1.mv0, (0, 0), r1, -1))
+        inter_dir = 0
+        mv_out = [(0, 0), (0, 0)]
+        ref_out = [-1, -1]
+        for lst in range(2 if is_b else 1):
+            r0 = m0.ref0 if lst == 0 else m0.ref1
+            r1 = m1.ref0 if lst == 0 else m1.ref1
+            v0 = m0.mv0 if lst == 0 else m0.mv1
+            v1 = m1.mv0 if lst == 0 else m1.mv1
+            if r0 < 0 and r1 < 0:
+                continue
+            inter_dir += 1 << lst
+            if r0 >= 0 and r1 >= 0:
+                mv_out[lst] = (_round_affine(v0[0] + v1[0]),
+                               _round_affine(v0[1] + v1[1]))
+                ref_out[lst] = r0
+            elif r0 >= 0:
+                mv_out[lst] = v0
+                ref_out[lst] = r0
+            else:
+                mv_out[lst] = v1
+                ref_out[lst] = r1
+        if inter_dir > 0:
+            cands.append(MotionInfo(inter_dir, tuple(mv_out[0]),
+                                    tuple(mv_out[1]), ref_out[0],
+                                    ref_out[1]))
 
     # zero-MV padding with increasing refIdx
+    num_ref = min(num_l0_refs, num_l1_refs) if is_b else num_l0_refs
     r = 0
     refcnt = 0
     while len(cands) < max_cand:
-        cands.append(MotionInfo(1, (0, 0), (0, 0), r, -1))
-        if refcnt == num_l0_refs - 1:
+        if is_b:
+            cands.append(MotionInfo(3, (0, 0), (0, 0), r, r))
+        else:
+            cands.append(MotionInfo(1, (0, 0), (0, 0), r, -1))
+        if refcnt == num_ref - 1:
             r = 0
         else:
             r += 1

@@ -114,3 +114,64 @@ def test_p_frame_partition_search_bitexact():
     dec = oracle_decode_n(res.bitstream, w, h, 2)
     for t in range(2):
         np.testing.assert_array_equal(dec[t], res.recons[t].recon)
+
+
+@needs_oracle
+def test_random_access_hierarchical_b_bitexact():
+    w = h = 64
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_400,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        qp=32, num_reorder_pics=2, max_dec_pic_buffering=5)
+    frames = moving_frames(w, h, 5)
+    rae = gop.RandomAccessEncoder(cfg, gop_size=4, me_range=5)
+    res = rae.encode(frames)
+    assert res.frame_types == ["I", "B", "B", "B", "P"]
+    dec = oracle_decode_n(res.bitstream, w, h, 5)
+    for t in range(5):
+        np.testing.assert_array_equal(dec[t], res.recons[t].recon,
+                                      err_msg=f"poc {t}")
+
+
+@needs_oracle
+def test_random_access_gop8_420_deblock_bitexact():
+    w, h = 128, 64
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        log2_min_cu=3, qp=34, deblocking=True,
+                        num_reorder_pics=3, max_dec_pic_buffering=6)
+    rng = np.random.RandomState(4)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx = np.mgrid[0:h // 2, 0:w // 2]
+    frames = []
+    for t in range(9):
+        y = np.clip(512 + 220 * np.sin((xx - 1.5 * t) / 13.0)
+                    * np.cos((yy - 0.7 * t) / 17.0)
+                    + rng.randint(-8, 8, (h, w)), 0, 1023).astype(np.int32)
+        u = np.clip(512 + 150 * np.sin((cx - t) / 7.0)
+                    + rng.randint(-6, 6, (h // 2, w // 2)),
+                    0, 1023).astype(np.int32)
+        v = np.clip(512 - 120 * np.cos((cy - 0.5 * t) / 6.0)
+                    + rng.randint(-6, 6, (h // 2, w // 2)),
+                    0, 1023).astype(np.int32)
+        frames.append((y, u, v))
+    rae = gop.RandomAccessEncoder(cfg, gop_size=8, me_range=5)
+    res = rae.encode(frames)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        bp, yp = os.path.join(d, "t.bin"), os.path.join(d, "t.yuv")
+        open(bp, "wb").write(res.bitstream)
+        r = subprocess.run([ORACLE, "-b", bp, "-o", yp],
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0
+        out = np.fromfile(yp, dtype="<u2")
+    per = w * h * 3 // 2
+    assert out.size == 9 * per
+    csz = (w // 2) * (h // 2)
+    for t in range(9):
+        f = out[t * per:(t + 1) * per]
+        rr = res.recons[t]
+        np.testing.assert_array_equal(f[:w * h].reshape(h, w), rr.recon)
+        np.testing.assert_array_equal(
+            f[w * h:w * h + csz].reshape(h // 2, w // 2), rr.recon_cb)
+        np.testing.assert_array_equal(
+            f[w * h + csz:].reshape(h // 2, w // 2), rr.recon_cr)
