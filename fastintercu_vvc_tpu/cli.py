@@ -43,9 +43,30 @@ def _encode(args) -> int:
         return 1
 
     t0 = time.perf_counter()
-    se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
-                             me_range=args.me_range)
-    res = se.encode(frames, qp=args.qp)
+    if args.batched:
+        # TPU-first pipeline: batched whole-frame search (org-referenced
+        # level DP on device) + native-CABAC commit pass; all-intra.
+        from .codec import batch_search, encoder
+        from .utils.bitstream import annexb
+        fe = encoder.FrameEncoder(cfg)
+        nals, recons, bits, types = [], [], [], []
+        for poc, fr in enumerate(frames):
+            luma = fr[0] if chroma420 else fr
+            dec = batch_search.search_intra_frame(luma, cfg, qp=args.qp)
+            r = fe.encode_frame(fr, poc=poc, qp=args.qp,
+                                slice_type=hls.I_SLICE, decisions=dec)
+            frame_nals = gop.split_nals(r.bitstream)
+            if poc == 0:
+                nals.extend(frame_nals[:2])
+            nals.append(frame_nals[2])
+            recons.append(r)
+            bits.append(r.num_bits)
+            types.append("I")
+        res = gop.SequenceResult(annexb(nals), recons, bits, types)
+    else:
+        se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
+                                 me_range=args.me_range)
+        res = se.encode(frames, qp=args.qp)
     dt = time.perf_counter() - t0
 
     with open(args.bitstream, "wb") as f:
@@ -85,6 +106,9 @@ def main(argv=None) -> int:
     e.add_argument("--max-mtt", type=int, default=0)
     e.add_argument("--intra-period", type=int, default=0)
     e.add_argument("--me-range", type=int, default=8)
+    e.add_argument("--batched", action="store_true",
+                   help="all-intra via the batched TPU search pipeline "
+                        "+ native-CABAC commit pass")
     e.add_argument("--chroma400", action="store_true",
                    help="input is luma-only (4:0:0)")
     e.add_argument("--recon", default=None,

@@ -30,6 +30,7 @@ import functools
 import numpy as np
 
 from ..ops import intra, inter, transforms_np as tnp
+from .. import native
 from . import cabac, contexts, ctx_ids, hls, partition, residual
 
 
@@ -356,7 +357,13 @@ class FrameEncoder:
                      hls.P_SLICE: contexts.P_SLICE,
                      hls.B_SLICE: contexts.B_SLICE}[slice_type]
         bank = contexts.init_bank(ctx_slice, qp)
-        enc = cabac.CabacEncoder(bank)
+        # decisions-driven commit is rollback-free: record the bin-op
+        # stream and execute it on the native C engine (bit-identical
+        # to the Python engine; ~150x faster). RD search needs
+        # snapshot/rollback and bit counting, so it keeps the live
+        # Python engine.
+        use_native = decisions is not None and native.get_lib() is not None
+        enc = native.OpRecorder() if use_native else cabac.CabacEncoder(bank)
         self.enc = enc
 
         for y in range(0, H, cs):
@@ -382,7 +389,10 @@ class FrameEncoder:
                 info, qp, qp_c_for_db, bd, cs)
 
         enc.encode_bin_trm(1)
-        payload = enc.finish()
+        if use_native:
+            payload, tail = native.cabac_run(enc.to_array(), bank)
+        else:
+            payload, tail = enc.finish(), enc.tail_bits()
         if slice_type == hls.I_SLICE:
             pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
                                 nal_type=hls.NAL_IDR_N_LP, qp=qp)
@@ -393,7 +403,7 @@ class FrameEncoder:
                                 nal_type=hls.NAL_TRAIL, qp=qp,
                                 is_irap=False, ref_deltas_l0=deltas0,
                                 ref_deltas_l1=deltas1)
-        bs = hls.bitstream_for_frames(cfg, [(pic, payload, enc.tail_bits())])
+        bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
                            (self.maps.inter_dir > 0).copy(),
