@@ -148,6 +148,17 @@ class _EncState:
             (23 - enc.bits_left)
 
 
+def _tu_tiles(w, h, max_tb=64):
+    """Implicit TU tiling for CUs larger than the max transform size
+    (getMaxTuTiling parity, UnitPartitioner.cpp:1051: raster order,
+    64 forced when a dimension exceeds 64)."""
+    if w <= max_tb and h <= max_tb:
+        return [(0, 0, w, h)]
+    tw, th = min(w, max_tb), min(h, max_tb)
+    return [(dx, dy, tw, th)
+            for dy in range(0, h, th) for dx in range(0, w, tw)]
+
+
 class _Maps:
     """Per-4x4-unit SoA state for neighbor-dependent derivations
     (replaces VTM's CU pointer graph; SURVEY.md §7.1 SoA stance)."""
@@ -275,7 +286,7 @@ class FrameEncoder:
                  me_range: int = 16):
         assert cfg.width % cfg.ctu_size == 0
         assert cfg.height % cfg.ctu_size == 0
-        assert cfg.ctu_size <= 64, "CTU 128 needs implicit TU split (TODO)"
+        assert cfg.ctu_size in (32, 64, 128)
         self.chroma = cfg.chroma_format == hls.CHROMA_420
         if self.chroma:
             assert cfg.log2_min_cu >= 3, \
@@ -672,34 +683,58 @@ class FrameEncoder:
             self._commit_intra(x, y, w, h, qt_depth, trial)
         else:
             mi = trial["mi"]
-            self.recon[y:y + h, x:x + w] = trial["recon"]
-            if self.chroma:
-                self._commit_chroma(x, y, w, h, trial["chroma"])
+            self._commit_trial_recon(trial)
             rp0 = self.ref_pocs[mi.ref0] if mi.ref0 >= 0 else -1
             rp1 = self.ref_pocs_l1[mi.ref1] if mi.ref1 >= 0 else -1
             self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi,
                                     skip=trial.get("is_skip", False),
                                     cbfs=self._trial_cbfs(trial),
                                     ref_poc0=rp0, ref_poc1=rp1)
+            self._mark_tu_cbfs(trial)
             inter.hmvp_update(self.hmvp, mi)
         return trial["ssd"]
 
     @staticmethod
     def _trial_cbfs(trial):
-        ch = trial.get("chroma")
-        return (trial["cbf"],
-                bool(ch is not None and ch[0][2]),
-                bool(ch is not None and ch[1][2]))
+        """CU-level cbf flags = OR over the CU's TUs."""
+        cy = cb = cr = False
+        for tu in trial["tus"]:
+            cy = cy or tu["cbf"]
+            ch = tu["chroma"]
+            cb = cb or bool(ch is not None and ch[0][2])
+            cr = cr or bool(ch is not None and ch[1][2])
+        return cy, cb, cr
+
+    def _commit_trial_recon(self, trial):
+        for tu in trial["tus"]:
+            tx, ty, tw, th = tu["x"], tu["y"], tu["w"], tu["h"]
+            self.recon[ty:ty + th, tx:tx + tw] = tu["recon"]
+            if self.chroma and tu["chroma"] is not None:
+                self._commit_chroma(tx, ty, tw, th, tu["chroma"])
+
+    def _mark_tu_cbfs(self, trial):
+        """Per-TU cbf granularity in the maps (TU-accurate deblocking
+        boundary strengths for multi-TU CUs)."""
+        m = self.maps
+        for tu in trial["tus"]:
+            sl = np.s_[tu["y"] // 4:(tu["y"] + tu["h"]) // 4,
+                       tu["x"] // 4:(tu["x"] + tu["w"]) // 4]
+            ch = tu["chroma"]
+            m.cbf_y[sl] = tu["cbf"]
+            m.cbf_cb[sl] = bool(ch is not None and ch[0][2])
+            m.cbf_cr[sl] = bool(ch is not None and ch[1][2])
 
     def _commit_intra(self, x, y, w, h, qt_depth, trial):
-        self.recon[y:y + h, x:x + w] = trial["recon"]
-        if self.chroma:
-            self._commit_chroma(x, y, w, h, trial["chroma"])
+        self._commit_trial_recon(trial)
         self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"],
                                 cbfs=self._trial_cbfs(trial))
+        self._mark_tu_cbfs(trial)
 
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):
+        tiles = _tu_tiles(w, h)
+        if len(tiles) > 1:
+            return self._eval_intra_multi_tu(x, y, w, h, mode, tiles)
         if pred is None:
             top, left = intra.build_refs(self.recon, x, y, w, h,
                                          self.cfg.bit_depth,
@@ -708,13 +743,59 @@ class FrameEncoder:
                                  self.cfg.bit_depth)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-        trial = {"mode": mode, "q": q, "cbf": cbf, "recon": recon,
-                 "ssd": ssd, "chroma": None}
+        tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
+              "recon": recon, "chroma": None}
         if self.chroma:
             ch = self._chroma_intra(x, y, w, h, mode)
-            trial["chroma"] = ch
-            trial["ssd"] += ch[0][3] + ch[1][3]
-        return trial
+            tu["chroma"] = ch
+            ssd += ch[0][3] + ch[1][3]
+        return {"mode": mode, "tus": [tu], "ssd": ssd}
+
+    def _eval_intra_multi_tu(self, x, y, w, h, mode, tiles):
+        """Intra CU larger than maxTB: each TU is predicted from the
+        reconstruction including previously coded TUs of the same CU
+        (transform_tree TU_MAX_TR_SPLIT, CABACReader.cpp:2546)."""
+        bd = self.cfg.bit_depth
+        maps = self.maps
+        sl = np.s_[y:y + h, x:x + w]
+        csl = np.s_[y // 2:(y + h) // 2, x // 2:(x + w) // 2]
+        gsl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        save_y = self.recon[sl].copy()
+        save_coded = maps.coded[gsl].copy()
+        if self.chroma:
+            save_cb = self.recon_cb[csl].copy()
+            save_cr = self.recon_cr[csl].copy()
+        mask = self._avail_mask()
+        tus, ssd = [], 0.0
+        for (dx, dy, tw, th) in tiles:
+            tx, ty = x + dx, y + dy
+            top, left = intra.build_refs(self.recon, tx, ty, tw, th, bd,
+                                         mask)
+            pred = intra.predict(mode, top, left, tw, th, bd)
+            tblk = self.org[ty:ty + th, tx:tx + tw]
+            q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
+            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
+            tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
+                  "cbf": cbf, "recon": recon, "chroma": None}
+            self.recon[ty:ty + th, tx:tx + tw] = recon
+            if self.chroma:
+                ch = self._chroma_intra(tx, ty, tw, th, mode)
+                tu["chroma"] = ch
+                ssd += ch[0][3] + ch[1][3]
+                self.recon_cb[ty // 2:(ty + th) // 2,
+                              tx // 2:(tx + tw) // 2] = ch[0][1]
+                self.recon_cr[ty // 2:(ty + th) // 2,
+                              tx // 2:(tx + tw) // 2] = ch[1][1]
+            maps.coded[ty // 4:(ty + th) // 4,
+                       tx // 4:(tx + tw) // 4] = True
+            tus.append(tu)
+        # evaluation must not leave side effects
+        self.recon[sl] = save_y
+        maps.coded[gsl] = save_coded
+        if self.chroma:
+            self.recon_cb[csl] = save_cb
+            self.recon_cr[csl] = save_cr
+        return {"mode": mode, "tus": tus, "ssd": ssd}
 
     def _me_uni(self, x, y, w, h, blk, lst):
         """Integer + quarter-pel ME against ref 0 of one list.
@@ -761,17 +842,29 @@ class FrameEncoder:
             return None
         return mv, mvp_idx, mvd
 
+    def _inter_trial_tus(self, x, y, w, h, mi):
+        """Motion-compensated prediction + per-TU transform/quant.
+        MC is position-independent, so each TU tile is predicted
+        directly at its own coordinates."""
+        tus, ssd = [], 0.0
+        for (dx, dy, tw, th) in _tu_tiles(w, h):
+            tx, ty = x + dx, y + dy
+            pred = self._motion_pred_luma(tx, ty, tw, th, mi)
+            tblk = self.org[ty:ty + th, tx:tx + tw]
+            q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
+            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
+            tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
+                  "cbf": cbf, "recon": recon, "chroma": None}
+            if self.chroma:
+                ch = self._chroma_inter(tx, ty, tw, th, mi)
+                tu["chroma"] = ch
+                ssd += ch[0][3] + ch[1][3]
+            tus.append(tu)
+        return tus, ssd
+
     def _finish_inter_trial(self, x, y, w, h, blk, mi, sig):
-        pred = self._motion_pred_luma(x, y, w, h, mi)
-        q, recon, cbf = self._tq(blk, pred, self.qp_eff)
-        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-        trial = {"mi": mi, "sig": sig, "q": q, "cbf": cbf,
-                 "recon": recon, "ssd": ssd, "chroma": None}
-        if self.chroma:
-            ch = self._chroma_inter(x, y, w, h, mi)
-            trial["chroma"] = ch
-            trial["ssd"] += ch[0][3] + ch[1][3]
-        return trial
+        tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
+        return {"mi": mi, "sig": sig, "tus": tus, "ssd": ssd}
 
     def _try_inter_amvp(self, x, y, w, h, blk):
         """AMVP trials: uni-L0 (P/B), uni-L1 and bi (B).
@@ -796,44 +889,34 @@ class FrameEncoder:
         return trials
 
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
-        pred = self._motion_pred_luma(x, y, w, h, mi)
-        q, recon, cbf = self._tq(blk, pred, self.qp_eff)
-        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-        trial = {"mi": mi, "m_idx": m_idx, "q": q, "cbf": cbf,
-                 "recon": recon, "ssd": ssd, "chroma": None}
-        if self.chroma:
-            ch = self._chroma_inter(x, y, w, h, mi)
-            trial["chroma"] = ch
-            trial["ssd"] += ch[0][3] + ch[1][3]
-        any_cbf = cbf or (trial["chroma"] is not None
-                          and (trial["chroma"][0][2] or trial["chroma"][1][2]))
-        if not any_cbf:
-            # zero residual -> skip CU; recon = prediction on all planes
-            trial["is_skip"] = True
-        else:
-            trial["is_skip"] = False
+        tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
+        trial = {"mi": mi, "m_idx": m_idx, "tus": tus, "ssd": ssd}
+        # zero residual across every TU -> skip CU (recon = prediction)
+        trial["is_skip"] = not any(
+            t["cbf"] or (t["chroma"] is not None
+                         and (t["chroma"][0][2] or t["chroma"][1][2]))
+            for t in tus)
         return trial
 
     # ------------------------------------------------------------------
     # syntax writers
 
-    def _write_chroma_cbfs_and_residuals(self, trial, luma_cbf_signalled,
-                                         luma_cbf_ctx_write=True,
-                                         is_intra=True):
-        """transform_unit parity: cbf_cb, cbf_cr (before luma cbf), then
-        residual Y, Cb, Cr."""
+    def _write_tu(self, tu, infer_luma_cbf=False):
+        """transform_unit parity (CABACReader.cpp:2719): cbf_cb, cbf_cr
+        (before luma cbf; Cr context depends on this TU's Cb), luma cbf
+        (unless inferred), then residual Y, Cb, Cr."""
         enc = self.enc
-        ch = trial["chroma"]
+        ch = tu["chroma"]
         cbf_cb = ch is not None and ch[0][2]
         cbf_cr = ch is not None and ch[1][2]
         if self.chroma:
             enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
             enc.encode_bin(1 if cbf_cr else 0,
                            ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
-        if luma_cbf_ctx_write:
-            enc.encode_bin(1 if trial["cbf"] else 0, ctx_ids.QtCbf[0][0])
-        if trial["cbf"]:
-            residual.write_residual_coding(enc, trial["q"], residual.LUMA)
+        if not infer_luma_cbf:
+            enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        if tu["cbf"]:
+            residual.write_residual_coding(enc, tu["q"], residual.LUMA)
         if cbf_cb:
             residual.write_residual_coding(enc, ch[0][0], residual.CHROMA)
         if cbf_cr:
@@ -848,7 +931,8 @@ class FrameEncoder:
         if self.chroma:
             # intra_chroma_pred_mode: DM -> single 0 bin (cclm off)
             enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
-        self._write_chroma_cbfs_and_residuals(trial, True, True)
+        for tu in trial["tus"]:       # intra: luma cbf always signalled
+            self._write_tu(tu)
 
     def _write_skip_predmode(self, x, y, w, h, is_intra, skip=False):
         enc = self.enc
@@ -886,26 +970,18 @@ class FrameEncoder:
         self._write_inter_tu(trial)
 
     def _write_inter_tu(self, trial):
-        """Inter transform_unit: chroma cbfs, luma cbf written only when
-        chroma has coefficients (else inferred 1)."""
-        enc = self.enc
-        ch = trial["chroma"]
-        cbf_cb = ch is not None and ch[0][2]
-        cbf_cr = ch is not None and ch[1][2]
-        if self.chroma:
-            enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
-            enc.encode_bin(1 if cbf_cr else 0,
-                           ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
-        sig_chroma = cbf_cb or cbf_cr
-        if sig_chroma:
-            enc.encode_bin(1 if trial["cbf"] else 0, ctx_ids.QtCbf[0][0])
-        # else luma cbf inferred 1 (rootCbf constraint)
-        if trial["cbf"]:
-            residual.write_residual_coding(enc, trial["q"], residual.LUMA)
-        if cbf_cb:
-            residual.write_residual_coding(enc, ch[0][0], residual.CHROMA)
-        if cbf_cr:
-            residual.write_residual_coding(enc, ch[1][0], residual.CHROMA)
+        """Inter transform_tree: single TU at trDepth 0 -> luma cbf
+        inferred 1 when no chroma cbf (rootCbf constraint); multi-TU
+        CUs (TU_MAX_TR_SPLIT, trDepth 1) always signal luma cbf."""
+        tus = trial["tus"]
+        if len(tus) == 1:
+            tu = tus[0]
+            ch = tu["chroma"]
+            sig_chroma = ch is not None and (ch[0][2] or ch[1][2])
+            self._write_tu(tu, infer_luma_cbf=not sig_chroma)
+        else:
+            for tu in tus:
+                self._write_tu(tu)
 
     def _write_leaf_inter(self, x, y, w, h, trial):
         enc = self.enc
@@ -932,9 +1008,10 @@ class FrameEncoder:
             mvp_idx, mvd = sig[1]
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
-        root_cbf = trial["cbf"] or (
-            trial["chroma"] is not None
-            and (trial["chroma"][0][2] or trial["chroma"][1][2]))
+        root_cbf = any(
+            t["cbf"] or (t["chroma"] is not None
+                         and (t["chroma"][0][2] or t["chroma"][1][2]))
+            for t in trial["tus"])
         enc.encode_bin(1 if root_cbf else 0, ctx_ids.QtRootCbf[0])
         if root_cbf:
             self._write_inter_tu(trial)

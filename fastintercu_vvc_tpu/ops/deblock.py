@@ -391,7 +391,15 @@ def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
         for ctx in range(0, W, ctu_size):
             out = []
             _cu_coding_order(info, ctx, cty, ctu_size, ctu_size, out)
-            cu_lists[(ctx, cty)] = out
+            # CUs larger than the max transform size carry implicit
+            # 64x64 TU tiles; deblocking edges follow TU boundaries
+            tus = []
+            for (cx, cy, cw, chh) in out:
+                tw, th = min(cw, 64), min(chh, 64)
+                for ty in range(cy, cy + chh, th):
+                    for tx in range(cx, cx + cw, tw):
+                        tus.append((tx, ty, tw, th))
+            cu_lists[(ctx, cty)] = tus
 
     for hor in (False, True):        # vertical pass first, then horizontal
         for cty in range(0, H, ctu_size):
@@ -426,8 +434,9 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
             continue
         gq = info.at(px, py)
         gp = info.at(px - (0 if hor else 4), py - (4 if hor else 0))
-        size_q = int(info.cu_h[gq] if hor else info.cu_w[gq])
-        size_p = int(info.cu_h[gp] if hor else info.cu_w[gp])
+        # transform-block size on each side (CUs > 64 tile into 64)
+        size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]), 64)
+        size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]), 64)
         small = size_p <= 4 or size_q <= 4
         max_q = 1 if small else (7 if size_q >= 32 else 3)
         max_p = 1 if small else (7 if size_p >= 32 else 3)
@@ -521,8 +530,8 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         gq = info.at(px, py)
         gp = info.at(px - (0 if hor else 4), py - (4 if hor else 0))
         # chroma sizes in chroma samples
-        size_q = int(info.cu_h[gq] if hor else info.cu_w[gq]) // 2
-        size_p = int(info.cu_h[gp] if hor else info.cu_w[gp]) // 2
+        size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]), 64) // 2
+        size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]), 64) // 2
         max_len = 3 if (size_q >= 8 and size_p >= 8) else 1
         large_boundary = max_len >= 3
         chroma_hor_ctb = hor and (py % ctu_size) == 0
