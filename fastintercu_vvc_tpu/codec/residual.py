@@ -222,6 +222,30 @@ def write_last_sig_coeff(enc, cctx: CoeffCtx, last_x: int, last_y: int):
             enc.encode_bin_ep((py >> i) & 1)
 
 
+def _native_ctxb(w: int, h: int, ch: int) -> list[int]:
+    """Context-base vector for native/residual_ops.c (index layout
+    documented there)."""
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    if ch == CHROMA:
+        off_x = off_y = 0
+        sh_x = min(2, max(0, w >> 3))
+        sh_y = min(2, max(0, h >> 3))
+    else:
+        prefix = [0, 0, 0, 3, 6, 10, 15, 21]
+        off_x, off_y = prefix[lw], prefix[lh]
+        sh_x, sh_y = (lw + 1) >> 2, (lh + 1) >> 2
+    return [ctx_ids.LastX[ch][0], ctx_ids.LastY[ch][0],
+            ctx_ids.SigFlag[ch][0], ctx_ids.SigFlag[ch + 2][0],
+            ctx_ids.SigFlag[ch + 4][0],
+            ctx_ids.ParFlag[ch][0],
+            ctx_ids.GtxFlag[ch + 2][0],      # gt1
+            ctx_ids.GtxFlag[ch][0],          # gt2
+            ctx_ids.SigCoeffGroup[ch][0],
+            off_x, off_y, sh_x, sh_y,
+            int(GROUP_IDX[min(ZERO_OUT_TH, w) - 1]),
+            int(GROUP_IDX[min(ZERO_OUT_TH, h) - 1])]
+
+
 def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
                           dep_quant: bool = False,
                           sign_hiding: bool = False):
@@ -230,6 +254,16 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
     Caller handles ts_flag/mts signalling separately."""
     assert not sign_hiding, "sign data hiding not implemented yet"
     h, w = coeff.shape
+
+    # recorder target + no dep-quant -> generate the op stream natively
+    if not dep_quant and hasattr(enc, "extend_ops"):
+        from .. import native
+        if native.get_lib() is not None:
+            lgw, lgh = rom.log2_sbb_size(w.bit_length() - 1,
+                                         h.bit_length() - 1)
+            enc.extend_ops(native.residual_ops(
+                coeff, ch_type, lgw, lgh, _native_ctxb(w, h, ch_type)))
+            return
     cctx = CoeffCtx(w, h, ch_type)
 
     # last position + sig group flags in scan order
