@@ -562,8 +562,8 @@ class FrameEncoder:
         outs = []
         for plane_o, plane_r in ((self.org_cb, self.recon_cb),
                                  (self.org_cr, self.recon_cr)):
-            top, left = intra.build_refs(plane_r, xc, yc, wc, hc, bd,
-                                         self._avail_mask_chroma())
+            top, left = intra.build_refs_grid(plane_r, xc, yc, wc, hc,
+                                              bd, self.maps.coded, sub=2)
             pred = intra.predict(luma_mode, top, left, wc, hc, bd,
                                  chroma=True)
             blk = plane_o[yc:yc + hc, xc:xc + wc]
@@ -643,9 +643,9 @@ class FrameEncoder:
             _EncState.restore(enc, base_state)
 
         # ----- intra candidates -----
-        top, left = intra.build_refs(self.recon, x, y, w, h,
-                                     self.cfg.bit_depth,
-                                     self._avail_mask())
+        top, left = intra.build_refs_grid(self.recon, x, y, w, h,
+                                          self.cfg.bit_depth,
+                                          self.maps.coded)
         mpm = self._mpms(x, y, w, h)
         cands, preds = self._mode_candidates(blk, top, left, w, h, mpm)
         for m in cands:
@@ -736,9 +736,9 @@ class FrameEncoder:
         if len(tiles) > 1:
             return self._eval_intra_multi_tu(x, y, w, h, mode, tiles)
         if pred is None:
-            top, left = intra.build_refs(self.recon, x, y, w, h,
-                                         self.cfg.bit_depth,
-                                         self._avail_mask())
+            top, left = intra.build_refs_grid(self.recon, x, y, w, h,
+                                              self.cfg.bit_depth,
+                                              self.maps.coded)
             pred = intra.predict(mode, top, left, w, h,
                                  self.cfg.bit_depth)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
@@ -765,12 +765,11 @@ class FrameEncoder:
         if self.chroma:
             save_cb = self.recon_cb[csl].copy()
             save_cr = self.recon_cr[csl].copy()
-        mask = self._avail_mask()
         tus, ssd = [], 0.0
         for (dx, dy, tw, th) in tiles:
             tx, ty = x + dx, y + dy
-            top, left = intra.build_refs(self.recon, tx, ty, tw, th, bd,
-                                         mask)
+            top, left = intra.build_refs_grid(self.recon, tx, ty, tw, th,
+                                              bd, self.maps.coded)
             pred = intra.predict(mode, top, left, tw, th, bd)
             tblk = self.org[ty:ty + th, tx:tx + tw]
             q, recon, cbf = self._tq(tblk, pred, self.qp_eff)

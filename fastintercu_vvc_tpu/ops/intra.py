@@ -174,6 +174,63 @@ def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
             np.concatenate([[corner], left_f]).astype(np.int32))
 
 
+def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
+                    bit_depth: int, coded: np.ndarray, sub: int = 1):
+    """Vectorized build_refs against a per-4x4-luma-unit coded grid
+    (the encoder maps). sub=2 for chroma planes (availability is read
+    at luma resolution). Bit-identical to build_refs with the encoder
+    availability mask."""
+    H, W = recon.shape
+    gh, gw = coded.shape
+
+    def avail(pxs, pys):
+        lx = pxs * sub
+        ly = pys * sub
+        ok = (pxs >= 0) & (pys >= 0) & (lx // 4 < gw) & (ly // 4 < gh)
+        out = np.zeros(np.broadcast(pxs, pys).shape, bool)
+        gxi = np.clip(lx // 4, 0, gw - 1)
+        gyi = np.clip(ly // 4, 0, gh - 1)
+        np.copyto(out, coded[gyi, gxi], where=ok)
+        return out
+
+    tposx = x - 1 + np.arange(2 * w + 1)
+    lposy = y - 1 + np.arange(2 * h + 1)
+    top_avail = avail(tposx, np.full_like(tposx, y - 1))
+    left_avail = avail(np.full_like(lposy, x - 1), lposy)
+
+    dcval = 1 << (bit_depth - 1)
+    top = np.full(2 * w + 1, dcval, np.int32)
+    left = np.full(2 * h + 1, dcval, np.int32)
+    if not (top_avail.any() or left_avail.any()):
+        return top, left
+
+    top_v = recon[min(max(y - 1, 0), H - 1), np.clip(tposx, 0, W - 1)]
+    left_v = recon[np.clip(lposy, 0, H - 1), min(max(x - 1, 0), W - 1)]
+    np.copyto(top, top_v.astype(np.int32), where=top_avail)
+    np.copyto(left, left_v.astype(np.int32), where=left_avail)
+
+    # substitution scan: bottom-most left -> corner -> top row rightwards
+    seq_avail = np.concatenate([left_avail[:0:-1], left_avail[:1],
+                                top_avail[1:]])
+    seq_vals = np.concatenate([left[:0:-1], left[:1], top[1:]])
+    n = len(seq_vals)
+    first = int(np.argmax(seq_avail))
+    seq_vals[:first] = seq_vals[first]
+    av = seq_avail.copy()
+    av[:first + 1] = True
+    keep = np.where(av, np.arange(n), 0)
+    np.maximum.accumulate(keep, out=keep)
+    seq_vals = seq_vals[keep]
+
+    nl = 2 * h
+    out_top = np.empty(2 * w + 1, np.int32)
+    out_left = np.empty(2 * h + 1, np.int32)
+    out_top[0] = out_left[0] = seq_vals[nl]
+    out_top[1:] = seq_vals[nl + 1:]
+    out_left[1:] = seq_vals[nl - 1::-1]
+    return out_top, out_left
+
+
 def filter_refs(top: np.ndarray, left: np.ndarray):
     """[1 2 1]/4 reference smoothing (xFilterReferenceSamples parity)."""
     ft = top.copy()
