@@ -283,7 +283,8 @@ class FrameEncoder:
     """Encodes I/P frames with QTMT partition search."""
 
     def __init__(self, cfg: hls.SeqConfig, num_mode_cands: int = 3,
-                 me_range: int = 16):
+                 me_range: int = 16, two_pass: bool = False):
+        self.two_pass = two_pass
         assert cfg.width % cfg.ctu_size == 0
         assert cfg.height % cfg.ctu_size == 0
         assert cfg.ctu_size in (32, 64, 128)
@@ -356,6 +357,7 @@ class FrameEncoder:
             self.recon_cb = np.zeros((H // 2, W // 2), np.int32)
             self.recon_cr = np.zeros((H // 2, W // 2), np.int32)
         self.maps = _Maps(W, H)
+        self.cu_log: dict = {}       # (x, y) -> (kind, trial) at commit
         self.hmvp: list[inter.MotionInfo] = []
         self.qp = qp
         bd = cfg.bit_depth
@@ -399,11 +401,36 @@ class FrameEncoder:
                 self.recon_cr if self.chroma else None,
                 info, qp, qp_c_for_db, bd, cs)
 
-        enc.encode_bin_trm(1)
-        if use_native:
-            payload, tail = native.cabac_run(enc.to_array(), bank)
+        sao_params = None
+        if cfg.sao:
+            from ..ops import sao as sao_ops
+            qp_c = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
+                if self.chroma else qp
+            sao_params = sao_ops.estimate_frame(
+                self.org, self.recon,
+                self.org_cb if self.chroma else None,
+                self.recon_cb if self.chroma else None,
+                self.org_cr if self.chroma else None,
+                self.recon_cr if self.chroma else None,
+                cs, bd, self.lam)
+            sao_ops.apply_frame(
+                self.recon,
+                self.recon_cb if self.chroma else None,
+                self.recon_cr if self.chroma else None,
+                sao_params, cs, bd)
+
+        if sao_params is not None or self.two_pass:
+            # final entropy pass: replay the committed syntax (VTM
+            # EncSlice::encodeSlice analogue) — required once loop-
+            # filter syntax (sao) precedes each CTU, and runs the
+            # whole slice on the native CABAC engine
+            payload, tail = self._replay_frame(ctx_slice, sao_params)
         else:
-            payload, tail = enc.finish(), enc.tail_bits()
+            enc.encode_bin_trm(1)
+            if use_native:
+                payload, tail = native.cabac_run(enc.to_array(), bank)
+            else:
+                payload, tail = enc.finish(), enc.tail_bits()
         if slice_type == hls.I_SLICE:
             pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
                                 nal_type=hls.NAL_IDR_N_LP, qp=qp)
@@ -420,6 +447,92 @@ class FrameEncoder:
                            (self.maps.inter_dir > 0).copy(),
                            self.recon_cb if self.chroma else None,
                            self.recon_cr if self.chroma else None)
+
+    # ------------------------------------------------------------------
+    # final entropy pass: replay committed syntax from maps + cu_log
+    # (VTM EncSlice::encodeSlice analogue, EncSlice.cpp — the RD pass
+    # decides, a separate pass entropy-codes, so loop-filter syntax
+    # that precedes each CTU can be inserted after estimation)
+
+    def _replay_frame(self, ctx_slice, sao_params=None):
+        cfg = self.cfg
+        H, W = self.org.shape
+        cs = cfg.ctu_size
+        bank = contexts.init_bank(ctx_slice, self.qp)
+        use_native = native.get_lib() is not None
+        enc = native.OpRecorder() if use_native else \
+            cabac.CabacEncoder(bank)
+        self.enc = enc
+        for y in range(0, H, cs):
+            for x in range(0, W, cs):
+                if sao_params is not None:
+                    from ..ops import sao as sao_ops
+                    sao_ops.write_sao_ctu(
+                        enc, sao_params, x // cs, y // cs,
+                        self.chroma, cfg.bit_depth)
+                self._replay_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
+                                None)
+        enc.encode_bin_trm(1)
+        if use_native:
+            return native.cabac_run(enc.to_array(), bank)
+        return enc.finish(), enc.tail_bits()
+
+    def _replay_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
+                   tt_mid):
+        m = self.maps
+        cans = partition.can_split(w, h, qt_depth, mtt_depth, self.pc,
+                                   last_split, tt_mid)
+        ctxs = partition.split_ctx(m, x, y, w, h, qt_depth, mtt_depth,
+                                   cans)
+        g = (y // 4, x // 4)
+        if (int(m.cu_x0[g]), int(m.cu_y0[g])) == (x, y) and \
+                int(m.cu_w[g]) == w and int(m.cu_h[g]) == h:
+            partition.write_split_mode(self.enc, partition.NO_SPLIT,
+                                       cans, ctxs)
+            kind, trial = self.cu_log[(x, y)]
+            if kind == "intra":
+                self._write_leaf_intra(x, y, w, h, trial)
+            elif kind == "merge":
+                self._write_leaf_merge(x, y, w, h, trial)
+            else:
+                self._write_leaf_inter(x, y, w, h, trial)
+            return
+
+        def fits(children):
+            for (cx, cy, cw, chh) in children:
+                for gy in range(cy // 4, (cy + chh) // 4):
+                    for gx in range(cx // 4, (cx + cw) // 4):
+                        x0, y0 = int(m.cu_x0[gy, gx]), int(m.cu_y0[gy, gx])
+                        if not (cx <= x0 and cy <= y0):
+                            return False
+                        if x0 + int(m.cu_w[gy, gx]) > cx + cw or \
+                           y0 + int(m.cu_h[gy, gx]) > cy + chh:
+                            return False
+            return True
+
+        can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
+        options = [(partition.QT_SPLIT, can_qt), (partition.BT_H, can_bh),
+                   (partition.BT_V, can_bv), (partition.TT_H, can_th),
+                   (partition.TT_V, can_tv)]
+        for split, allowed in options:
+            if not allowed:
+                continue
+            children = partition.split_children(x, y, w, h, split)
+            if not fits(children):
+                continue
+            partition.write_split_mode(self.enc, split, cans, ctxs)
+            for i, (cx, cy, cw, chh) in enumerate(children):
+                nqt = qt_depth + 1 if split == partition.QT_SPLIT \
+                    else qt_depth
+                nmt = mtt_depth if split == partition.QT_SPLIT \
+                    else mtt_depth + 1
+                tmid = None
+                if split in (partition.TT_H, partition.TT_V) and i == 1:
+                    tmid = partition.BT_H if split == partition.TT_H \
+                        else partition.BT_V
+                self._replay_cu(cx, cy, cw, chh, nqt, nmt, split, tmid)
+            return
+        raise AssertionError(f"replay: no legal split at {(x, y, w, h)}")
 
     # ------------------------------------------------------------------
     def _compress_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
@@ -497,9 +610,14 @@ class FrameEncoder:
         self._restore_region(x, y, w, h, region_best)
         return cost
 
+    def _log_region(self, x, y, w, h):
+        return {k: v for k, v in self.cu_log.items()
+                if x <= k[0] < x + w and y <= k[1] < y + h}
+
     def _save_region(self, x, y, w, h):
         out = [self.recon[y:y + h, x:x + w].copy(),
-               self.maps.region(x, y, w, h), list(self.hmvp)]
+               self.maps.region(x, y, w, h), list(self.hmvp),
+               self._log_region(x, y, w, h)]
         if self.chroma:
             out.append(self.recon_cb[y // 2:(y + h) // 2,
                                      x // 2:(x + w) // 2].copy())
@@ -511,9 +629,13 @@ class FrameEncoder:
         self.recon[y:y + h, x:x + w] = saved[0]
         self.maps.restore_region(x, y, w, h, saved[1])
         self.hmvp = list(saved[2])
+        for k in list(self.cu_log):
+            if x <= k[0] < x + w and y <= k[1] < y + h:
+                del self.cu_log[k]
+        self.cu_log.update(saved[3])
         if self.chroma:
-            self.recon_cb[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[3]
-            self.recon_cr[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[4]
+            self.recon_cb[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[4]
+            self.recon_cr[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[5]
 
     def _region_ssd(self, x, y, w, h) -> float:
         d = (self.org[y:y + h, x:x + w]
@@ -691,6 +813,8 @@ class FrameEncoder:
                                     cbfs=self._trial_cbfs(trial),
                                     ref_poc0=rp0, ref_poc1=rp1)
             self._mark_tu_cbfs(trial)
+            self.cu_log[(x, y)] = (
+                "merge" if "m_idx" in trial else "inter", trial)
             inter.hmvp_update(self.hmvp, mi)
         return trial["ssd"]
 
@@ -729,6 +853,7 @@ class FrameEncoder:
         self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"],
                                 cbfs=self._trial_cbfs(trial))
         self._mark_tu_cbfs(trial)
+        self.cu_log[(x, y)] = ("intra", trial)
 
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):

@@ -410,7 +410,11 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
     # qp delta (pps_qp_delta_info_in_ph off)
     qp = pic.qp if pic.qp is not None else cfg.qp
     w.write_svlc(qp - cfg.qp)           # sh_qp_delta
-    # sao off, deblocking control: override disabled -> nothing
+    if cfg.sao:                         # sps on, sao info in SH
+        w.write_flag(1)                 # sh_sao_luma_used_flag
+        if cfg.chroma_enabled:
+            w.write_flag(1)             # sh_sao_chroma_used_flag
+    # deblocking control: override disabled -> nothing
     # dep quant / sign hiding / ts residual coding: sps off -> nothing
     return w
 
