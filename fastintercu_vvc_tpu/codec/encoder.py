@@ -666,6 +666,27 @@ class FrameEncoder:
                 cands.append(m)
         return cands, preds
 
+    # (hor, ver) transform kinds per mts_idx (MtsType, CommonDef.h;
+    # getTrTypes TransformUnit semantics: 1 DST7/DST7, 2 DCT8/DST7,
+    # 3 DST7/DCT8, 4 DCT8/DCT8)
+    _MTS_KINDS = {0: (tnp.DCT2, tnp.DCT2), 1: (tnp.DST7, tnp.DST7),
+                  2: (tnp.DCT8, tnp.DST7), 3: (tnp.DST7, tnp.DCT8),
+                  4: (tnp.DCT8, tnp.DCT8)}
+
+    def _tq_mts(self, blk, pred, qp_eff, mts_idx):
+        bd = self.cfg.bit_depth
+        kh, kv = self._MTS_KINDS[mts_idx]
+        coeff = tnp.fwd_transform_2d(blk - pred, kind_h=kh, kind_v=kv,
+                                     bit_depth=bd)
+        q = tnp.quant(coeff, qp_eff, bit_depth=bd,
+                      is_irap=self.slice_type == hls.I_SLICE)
+        if np.any(q):
+            dq = tnp.dequant(q, qp_eff, bit_depth=bd)
+            r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
+                                     bit_depth=bd)
+            return q, _clip_pel(pred + r, bd), True
+        return q, _clip_pel(pred, bd), False
+
     def _tq(self, blk, pred, qp_eff):
         bd = self.cfg.bit_depth
         coeff = tnp.fwd_transform_2d(blk - pred, bit_depth=bd)
@@ -855,6 +876,25 @@ class FrameEncoder:
         self._mark_tu_cbfs(trial)
         self.cu_log[(x, y)] = ("intra", trial)
 
+    @staticmethod
+    def _mts_scan_flags(q):
+        """-> (mts_last_scan_pos, violates_mts_constraint) for a luma
+        TB's levels (CABACWriter.cpp:2674,2704 parity)."""
+        from ..ops import rom
+        h, w = q.shape
+        scan = rom.scan_diag(w, h)
+        vals = q[scan[:, 1], scan[:, 0]]
+        nz = np.nonzero(vals)[0]
+        if not len(nz):
+            return False, False
+        last = int(nz[-1])
+        violates = bool(np.any(q[16:, :]) or np.any(q[:, 16:]))
+        return last >= 1, violates
+
+    def _mts_allowed(self, w, h):
+        """CU::isMTSAllowed for intra luma (UnitTools.cpp:3799)."""
+        return (self.cfg.mts_intra and w <= 32 and h <= 32)
+
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):
         tiles = _tu_tiles(w, h)
@@ -867,6 +907,22 @@ class FrameEncoder:
             pred = intra.predict(mode, top, left, w, h,
                                  self.cfg.bit_depth)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
+        mts_idx = 0
+        if self._mts_allowed(w, h) and cbf:
+            best = (self._coeff_cost_proxy(blk, recon, q), 0, q, recon,
+                    cbf)
+            for idx in (1, 2, 3, 4):
+                q2, recon2, cbf2 = self._tq_mts(blk, pred, self.qp_eff,
+                                                idx)
+                if not cbf2:
+                    continue
+                last_ok, _ = self._mts_scan_flags(q2)
+                if not last_ok:
+                    continue   # DC-only: mts_idx not signallable
+                cost = self._coeff_cost_proxy(blk, recon2, q2)
+                if cost < best[0]:
+                    best = (cost, idx, q2, recon2, cbf2)
+            _, mts_idx, q, recon, cbf = best
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
         tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
               "recon": recon, "chroma": None}
@@ -874,7 +930,17 @@ class FrameEncoder:
             ch = self._chroma_intra(x, y, w, h, mode)
             tu["chroma"] = ch
             ssd += ch[0][3] + ch[1][3]
-        return {"mode": mode, "tus": [tu], "ssd": ssd}
+        return {"mode": mode, "tus": [tu], "ssd": ssd,
+                "mts_idx": mts_idx}
+
+    def _coeff_cost_proxy(self, blk, recon, q):
+        """SSD + lambda * rough level-bit estimate (mode selection
+        proxy; exact bits come from the trial CABAC write)."""
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        aq = np.abs(q)
+        nnz = int((aq > 0).sum())
+        bits = 2.0 * nnz + float(np.log2(aq[aq > 0] + 1).sum())
+        return ssd + self.lam * bits
 
     def _eval_intra_multi_tu(self, x, y, w, h, mode, tiles):
         """Intra CU larger than maxTB: each TU is predicted from the
@@ -1057,6 +1123,29 @@ class FrameEncoder:
             enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
         for tu in trial["tus"]:       # intra: luma cbf always signalled
             self._write_tu(tu)
+        self._write_mts_idx(w, h, trial)
+
+    def _write_mts_idx(self, w, h, trial):
+        """mts_idx after the transform tree (CABACWriter.cpp:2721:
+        signalled iff MTS allowed, luma has coeffs beyond DC, and no
+        significant CG outside 16x16)."""
+        if not self._mts_allowed(w, h):
+            return
+        tu = trial["tus"][0]
+        if not tu["cbf"]:
+            return
+        mts_last, violates = self._mts_scan_flags(tu["q"])
+        if not mts_last or violates:
+            return
+        enc = self.enc
+        mts_idx = trial.get("mts_idx", 0)
+        enc.encode_bin(1 if mts_idx else 0, ctx_ids.MTSIdx[0])
+        if mts_idx:
+            for i in range(3):
+                sym = 1 if mts_idx > i + 1 else 0
+                enc.encode_bin(sym, ctx_ids.MTSIdx[0] + 1 + i)
+                if not sym:
+                    break
 
     def _write_skip_predmode(self, x, y, w, h, is_intra, skip=False):
         enc = self.enc

@@ -41,6 +41,15 @@ CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444 = 0, 1, 2, 3
 class SeqConfig:
     """Sequence-level configuration (SPS+PPS surface)."""
 
+    def __post_init__(self):
+        # clamp BT/TT ceilings to the CTU size (the SPS diff fields
+        # sps_log2_diff_max_{bt,tt}_min_qt_* must stay within
+        # CtbLog2SizeY - MinQtLog2SizeY)
+        self.max_bt_intra = min(self.max_bt_intra, self.ctu_size)
+        self.max_bt_inter = min(self.max_bt_inter, self.ctu_size)
+        self.max_tt_intra = min(self.max_tt_intra, self.ctu_size)
+        self.max_tt_inter = min(self.max_tt_inter, self.ctu_size)
+
     width: int = 64
     height: int = 64
     bit_depth: int = 10
