@@ -31,7 +31,8 @@ def _encode(args) -> int:
         ctu_size=args.ctu, min_qt_intra=args.min_qt,
         min_qt_inter=args.min_qt, log2_min_cu=3 if chroma420 else 2,
         max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
-        qp=args.qp, sao=args.sao, mts_intra=args.mts)
+        qp=args.qp, sao=args.sao, mts_intra=args.mts,
+        temporal_mvp=args.tmvp)
 
     frames = []
     for y, u, v in yuv.read_frames(args.input, args.width, args.height,
@@ -106,6 +107,8 @@ def main(argv=None) -> int:
     e.add_argument("--max-mtt", type=int, default=0)
     e.add_argument("--intra-period", type=int, default=0)
     e.add_argument("--me-range", type=int, default=8)
+    e.add_argument("--tmvp", action="store_true",
+                   help="enable temporal motion vector prediction")
     e.add_argument("--mts", action="store_true",
                    help="enable explicit intra MTS (DST7/DCT8)")
     e.add_argument("--sao", action="store_true",

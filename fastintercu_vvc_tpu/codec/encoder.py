@@ -43,6 +43,7 @@ class FrameResult:
     inter_map: np.ndarray | None = None   # per-4x4 inter flag
     recon_cb: np.ndarray | None = None
     recon_cr: np.ndarray | None = None
+    motion: inter.ColMotion | None = None  # TMVP colocated field
 
 
 def _clip_pel(x, bit_depth):
@@ -337,17 +338,32 @@ class FrameEncoder:
             for item in (lst or []):
                 p, r = item
                 if isinstance(r, FrameResult):
-                    out.append((p, r.recon, r.recon_cb, r.recon_cr))
+                    out.append((p, r.recon, r.recon_cb, r.recon_cr,
+                                r.motion))
                 elif isinstance(r, tuple):
-                    out.append((p,) + tuple(r))
+                    out.append((p,) + tuple(r) + (None,) * (4 - len(r)))
                 else:
-                    out.append((p, r, None, None))
+                    out.append((p, r, None, None, None))
             return out
         self.refs = norm_refs(refs)
         self.refs_l1 = norm_refs(refs_l1)
         self.ref_pocs = [e[0] for e in self.refs]
         self.ref_pocs_l1 = [e[0] for e in self.refs_l1]
         self.poc = poc
+        # TMVP context: collocated picture = L0 ref 0 (we signal
+        # sh_collocated_from_l0_flag = 1 for B; inferred for P)
+        self.tmvp_ctx = None
+        if cfg.temporal_mvp and slice_type != hls.I_SLICE and \
+                self.refs and self.refs[0][4] is not None:
+            check_ldc = all(p <= poc for p in
+                            self.ref_pocs + self.ref_pocs_l1)
+            self.tmvp_ctx = {
+                "col": self.refs[0][4], "cur_poc": poc,
+                "ref_poc_l0": self.ref_pocs[0],
+                "ref_poc_l1": (self.ref_pocs_l1[0]
+                               if self.ref_pocs_l1 else None),
+                "check_ldc": check_ldc, "col_from_l0": True,
+                "pic_w": W, "pic_h": H, "ctu_size": cfg.ctu_size}
         self.pc = self._pc(slice_type)
         self.org = org_y.astype(np.int32)
         self.recon = np.zeros((H, W), np.int32)
@@ -443,10 +459,15 @@ class FrameEncoder:
                                 ref_deltas_l1=deltas1)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
+        m = self.maps
+        motion = inter.ColMotion(poc, m.inter_dir.copy(), m.mv0.copy(),
+                                 m.ref_poc.copy(), m.mv1.copy(),
+                                 m.ref_poc1.copy())
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
                            (self.maps.inter_dir > 0).copy(),
                            self.recon_cb if self.chroma else None,
-                           self.recon_cr if self.chroma else None)
+                           self.recon_cr if self.chroma else None,
+                           motion)
 
     # ------------------------------------------------------------------
     # final entropy pass: replay committed syntax from maps + cu_log
@@ -806,7 +827,8 @@ class FrameEncoder:
             merge_cands = inter.get_merge_candidates(
                 self.maps, self.hmvp, x, y, w, h,
                 min(1, len(self.refs)),
-                num_l1_refs=min(1, len(self.refs_l1)))
+                num_l1_refs=min(1, len(self.refs_l1)),
+                tmvp=self.tmvp_ctx)
             seen = set()
             for m_idx, mi in enumerate(merge_cands):
                 key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
@@ -996,7 +1018,8 @@ class FrameEncoder:
         ref_plane = refs[0][1]
         mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
                                     self.ref_pocs, 0, target_list=lst,
-                                    ref_poc_list1=self.ref_pocs_l1)
+                                    ref_poc_list1=self.ref_pocs_l1,
+                                    tmvp=self.tmvp_ctx)
         cx = x + (mvps[0][0] >> 4)
         cy = y + (mvps[0][1] >> 4)
         sr = self.me_range

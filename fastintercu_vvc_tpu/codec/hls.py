@@ -414,7 +414,13 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         is_b = pic.slice_type == B_SLICE
         if (n0 > 1) or (is_b and n1 > 1):
             w.write_flag(0)             # sh_num_ref_idx_active_override_flag
-        # cabac_init: pps flag 0 -> nothing; TMVP: ph off -> nothing
+        # cabac_init: pps flag 0 -> nothing
+        if cfg.temporal_mvp:
+            # collocated picture = L0 ref 0 (VLCWriter.cpp:2423)
+            if is_b:
+                w.write_flag(1)         # sh_collocated_from_l0_flag
+            if n0 > 1:
+                w.write_uvlc(0)         # sh_collocated_ref_idx
         # weighted pred off -> nothing
     # qp delta (pps_qp_delta_info_in_ph off)
     qp = pic.qp if pic.qp is not None else cfg.qp

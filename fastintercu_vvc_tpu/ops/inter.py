@@ -276,19 +276,180 @@ class MotionField:
         self.inter_dir[sl], self.mv0[sl], self.ref0[sl], self.coded[sl] = saved
 
 
+# ---------------------------------------------------------------------
+# temporal MVP (TMVP)
+
+_MV_MANTISSA_BITS = 6
+_MV_EXPONENT_BITS = 4
+_MV_MANTISSA_UPPER = (1 << (_MV_MANTISSA_BITS - 1)) - 1     # 31
+_MV_MANTISSA_LIMIT = 1 << (_MV_MANTISSA_BITS - 1)           # 32
+_MV_EXPONENT_MASK = (1 << _MV_EXPONENT_BITS) - 1            # 15
+
+
+def _mv_fixed_to_float(val: int) -> int:
+    """convertMvFixedToFloat (UnitTools.cpp:1420) — the colocated
+    motion-field compression."""
+    sign = -1 if val < 0 else 0
+    scale = ((val ^ sign) | _MV_MANTISSA_UPPER).bit_length() - 1 \
+        - (_MV_MANTISSA_BITS - 1)
+    if scale >= 0:
+        rnd = (1 << scale) >> 1
+        n = (val + rnd) >> scale
+        exponent = scale + ((n ^ sign) >> (_MV_MANTISSA_BITS - 1))
+        mantissa = (n & _MV_MANTISSA_UPPER) | (sign << (_MV_MANTISSA_BITS - 1))
+    else:
+        exponent = 0
+        mantissa = val
+    return exponent | (mantissa << _MV_EXPONENT_BITS)
+
+
+def _mv_float_to_fixed(val: int) -> int:
+    exponent = val & _MV_EXPONENT_MASK
+    mantissa = val >> _MV_EXPONENT_BITS
+    if exponent == 0:
+        return mantissa
+    return (mantissa ^ _MV_MANTISSA_LIMIT) << (exponent - 1)
+
+
+def round_mv_comp(x: int) -> int:
+    """roundMvComp (UnitTools.cpp:1450)."""
+    return _mv_float_to_fixed(_mv_fixed_to_float(x))
+
+
+def dist_scale_factor(cur_poc, cur_ref_poc, col_poc, col_ref_poc) -> int:
+    """xGetDistScaleFactor (UnitTools.cpp:1401)."""
+    diff_d = col_poc - col_ref_poc
+    diff_b = cur_poc - cur_ref_poc
+    if diff_d == diff_b:
+        return 4096
+    tdb = min(max(diff_b, -128), 127)
+    tdd = min(max(diff_d, -128), 127)
+    x = _cdiv(0x4000 + abs(_cdiv(tdd, 2)), tdd)
+    return min(max((tdb * x + 32) >> 6, -4096), 4095)
+
+
+def _cdiv(a: int, b: int) -> int:
+    """C-style (truncating) integer division."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _clip_storage(v: int) -> int:
+    return min(max(v, -(1 << 17)), (1 << 17) - 1)
+
+
+def scale_mv(mv, scale: int):
+    """Mv::scaleMv (Mv.h:176)."""
+    def comp(v):
+        p = scale * v
+        return min(max((p + 128 - (1 if p >= 0 else 0)) >> 8,
+                       -(1 << 17)), (1 << 17) - 1)
+    return (comp(mv[0]), comp(mv[1]))
+
+
+@dataclasses.dataclass
+class ColMotion:
+    """Colocated picture motion field (per-4x4 SoA + its POC)."""
+    poc: int
+    inter_dir: np.ndarray
+    mv0: np.ndarray
+    ref_poc0: np.ndarray
+    mv1: np.ndarray
+    ref_poc1: np.ndarray
+
+
+def get_colocated_mv(col: ColMotion, px: int, py: int, e_list: int,
+                     cur_poc: int, cur_ref_poc: int, check_ldc: bool,
+                     col_from_l0: bool):
+    """PU::getColocatedMVP parity (UnitTools.cpp:1500) for short-term
+    refs; position must be pre-validated by the caller. -> mv or None."""
+    px &= ~7
+    py &= ~7
+    g = (py // 4, px // 4)
+    if int(col.inter_dir[g]) == 0:
+        return None
+    # eColRefPicList = checkLDC ? eRefPicList : RefPicList(colFromL0)
+    e_col = e_list if check_ldc else int(col_from_l0)
+    rps = (col.ref_poc0, col.ref_poc1)
+    mvs = (col.mv0, col.mv1)
+    col_ref_poc = int(rps[e_col][g])
+    if col_ref_poc == -1 or (int(col.inter_dir[g]) & (1 << e_col)) == 0:
+        e_col = 1 - e_col
+        col_ref_poc = int(rps[e_col][g])
+        if col_ref_poc == -1 or \
+                (int(col.inter_dir[g]) & (1 << e_col)) == 0:
+            return None
+    mv = (round_mv_comp(int(mvs[e_col][g][0])),
+          round_mv_comp(int(mvs[e_col][g][1])))
+    scale = dist_scale_factor(cur_poc, cur_ref_poc, col.poc, col_ref_poc)
+    if scale == 4096:
+        return (_clip_storage(mv[0]), _clip_storage(mv[1]))
+    return scale_mv(mv, scale)
+
+
+def _tmvp_positions(x, y, w, h, pic_w, pic_h, ctu_size):
+    """-> (c0 or None, c1): bottom-right C0 (same-CTU-row constrained)
+    and center C1 (UnitTools.cpp:1184-1210)."""
+    rb_x, rb_y = x + w - 4, y + h - 4
+    c0 = None
+    if (rb_x + 4) < pic_w and (rb_y + 4) < pic_h:
+        if (rb_y & (ctu_size - 1)) + 4 < ctu_size:
+            c0 = (rb_x + 4, rb_y + 4)
+    c1 = (x + w // 2, y + h // 2)
+    return c0, c1
+
+
+def tmvp_merge_cand(tmvp, x, y, w, h):
+    """The merge-list temporal candidate (refIdx 0 per list) or None.
+    tmvp: dict(col, cur_poc, ref_poc_l0, ref_poc_l1, check_ldc,
+    col_from_l0, pic_w, pic_h, ctu_size)."""
+    if w + h <= 12:
+        return None
+    c0, c1 = _tmvp_positions(x, y, w, h, tmvp["pic_w"], tmvp["pic_h"],
+                             tmvp["ctu_size"])
+
+    def col_mv(e_list, cur_ref_poc):
+        for pos in ([c0, c1] if c0 is not None else [c1]):
+            mv = get_colocated_mv(tmvp["col"], pos[0], pos[1], e_list,
+                                  tmvp["cur_poc"], cur_ref_poc,
+                                  tmvp["check_ldc"],
+                                  tmvp["col_from_l0"])
+            if mv is not None:
+                return mv
+        return None
+
+    direction = 0
+    mv0 = mv1 = (0, 0)
+    m = col_mv(0, tmvp["ref_poc_l0"])
+    if m is not None:
+        direction |= 1
+        mv0 = m
+    if tmvp.get("ref_poc_l1") is not None:
+        m = col_mv(1, tmvp["ref_poc_l1"])
+        if m is not None:
+            direction |= 2
+            mv1 = m
+    if direction == 0:
+        return None
+    return MotionInfo(direction, mv0, mv1,
+                      0 if direction & 1 else -1,
+                      0 if direction & 2 else -1)
+
+
 def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
                    x: int, y: int, w: int, h: int,
                    ref_poc_list0: list[int], ref_idx: int,
                    tmvp: bool = False, target_list: int = 0,
                    ref_poc_list1: list[int] | None = None
                    ) -> list[tuple[int, int]]:
-    """PU::fillMvpCand parity (imv=0, no TMVP), either list.
+    """PU::fillMvpCand parity (imv=0), either list. tmvp: optional
+    TMVP context dict (see tmvp_merge_cand) enabling the temporal
+    AMVP candidate (UnitTools.cpp:1867).
 
     Neighbor candidates match when the POC of their reference (examined
     list first, then the other) equals the current target reference POC.
     Returns exactly AMVP_MAX_NUM_CANDS internal-precision MVs.
     """
-    assert not tmvp, "TMVP AMVP candidate not implemented yet"
     ref_poc_list1 = ref_poc_list1 if ref_poc_list1 is not None else []
     pocs = (ref_poc_list0, ref_poc_list1)
     curr_ref_poc = pocs[target_list][ref_idx]
@@ -323,6 +484,20 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
              for mx, my in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
+
+    # temporal AMVP candidate (UnitTools.cpp:1867)
+    if tmvp and len(cands) < AMVP_MAX_NUM_CANDS and (w + h > 12):
+        c0, c1 = _tmvp_positions(x, y, w, h, tmvp["pic_w"],
+                                 tmvp["pic_h"], tmvp["ctu_size"])
+        for pos in ([c0, c1] if c0 is not None else [c1]):
+            mv = get_colocated_mv(tmvp["col"], pos[0], pos[1],
+                                  target_list, tmvp["cur_poc"],
+                                  curr_ref_poc, tmvp["check_ldc"],
+                                  tmvp["col_from_l0"])
+            if mv is not None:
+                cands.append((mv_round_to_quarter(mv[0]),
+                              mv_round_to_quarter(mv[1])))
+                break
 
     n_allowed = min(MAX_NUM_HMVP_AMVP_CANDS, len(hmvp))
     for i in range(n_allowed):
@@ -398,9 +573,11 @@ MRG_MAX_NUM_CANDS = 6
 def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
                          w: int, h: int, num_l0_refs: int,
                          max_cand: int = MRG_MAX_NUM_CANDS,
-                         num_l1_refs: int = 0) -> list[MotionInfo]:
+                         num_l1_refs: int = 0,
+                         tmvp=None) -> list[MotionInfo]:
     """PU::getInterMergeCandidates parity (UnitTools.cpp:968) for P and
-    B slices (no TMVP; HMVP; pairwise avg; zero padding).
+    B slices (spatial; TMVP when `tmvp` ctx given; HMVP; pairwise avg;
+    zero padding).
 
     mf: object with .get(x, y) -> MotionInfo|None (maps adapter).
     Returns exactly max_cand candidates in decoder order.
@@ -438,6 +615,13 @@ def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
         if b2 is not None and (a1 is None or b2 != a1) \
                 and (b1 is None or b2 != b1):
             cands.append(b2)
+
+    # temporal candidate (after spatial, before HMVP; never pruned
+    # against the spatial candidates)
+    if tmvp is not None and len(cands) < max_cand:
+        t = tmvp_merge_cand(tmvp, x, y, w, h)
+        if t is not None:
+            cands.append(t)
 
     # HMVP (newest first; first two entries dedup vs A1/B1); stops at
     # max_cand - 1
