@@ -699,8 +699,16 @@ class FrameEncoder:
         kh, kv = self._MTS_KINDS[mts_idx]
         coeff = tnp.fwd_transform_2d(blk - pred, kind_h=kh, kind_v=kv,
                                      bit_depth=bd)
-        q = tnp.quant(coeff, qp_eff, bit_depth=bd,
-                      is_irap=self.slice_type == hls.I_SLICE)
+        irap = self.slice_type == hls.I_SLICE
+        if self.cfg.dep_quant:
+            q = tnp.quant_dep(coeff, qp_eff, bit_depth=bd, is_irap=irap)
+            if np.any(q):
+                dq = tnp.dequant_dep(q, qp_eff, bit_depth=bd)
+                r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
+                                         bit_depth=bd)
+                return q, _clip_pel(pred + r, bd), True
+            return q, _clip_pel(pred, bd), False
+        q = tnp.quant(coeff, qp_eff, bit_depth=bd, is_irap=irap)
         if np.any(q):
             dq = tnp.dequant(q, qp_eff, bit_depth=bd)
             r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
@@ -709,6 +717,8 @@ class FrameEncoder:
         return q, _clip_pel(pred, bd), False
 
     def _tq(self, blk, pred, qp_eff):
+        if self.cfg.dep_quant:
+            return self._tq_mts(blk, pred, qp_eff, 0)
         bd = self.cfg.bit_depth
         coeff = tnp.fwd_transform_2d(blk - pred, bit_depth=bd)
         q = tnp.quant(coeff, qp_eff, bit_depth=bd,
@@ -1128,12 +1138,16 @@ class FrameEncoder:
                            ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
         if not infer_luma_cbf:
             enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        dq = self.cfg.dep_quant
         if tu["cbf"]:
-            residual.write_residual_coding(enc, tu["q"], residual.LUMA)
+            residual.write_residual_coding(enc, tu["q"], residual.LUMA,
+                                           dep_quant=dq)
         if cbf_cb:
-            residual.write_residual_coding(enc, ch[0][0], residual.CHROMA)
+            residual.write_residual_coding(enc, ch[0][0],
+                                           residual.CHROMA, dep_quant=dq)
         if cbf_cr:
-            residual.write_residual_coding(enc, ch[1][0], residual.CHROMA)
+            residual.write_residual_coding(enc, ch[1][0],
+                                           residual.CHROMA, dep_quant=dq)
 
     def _write_leaf_intra(self, x, y, w, h, trial):
         enc = self.enc

@@ -430,7 +430,10 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         if cfg.chroma_enabled:
             w.write_flag(1)             # sh_sao_chroma_used_flag
     # deblocking control: override disabled -> nothing
-    # dep quant / sign hiding / ts residual coding: sps off -> nothing
+    if cfg.dep_quant:
+        w.write_flag(1)                 # sh_dep_quant_used_flag
+    # sign hiding / ts residual coding: sps off (or dep-quant on)
+    # -> nothing
     return w
 
 
