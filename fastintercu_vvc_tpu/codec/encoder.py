@@ -284,8 +284,10 @@ class FrameEncoder:
     """Encodes I/P frames with QTMT partition search."""
 
     def __init__(self, cfg: hls.SeqConfig, num_mode_cands: int = 3,
-                 me_range: int = 16, two_pass: bool = False):
+                 me_range: int = 16, two_pass: bool = False,
+                 batched_me: bool = True):
         self.two_pass = two_pass
+        self.batched_me = batched_me
         assert cfg.width % cfg.ctu_size == 0
         assert cfg.height % cfg.ctu_size == 0
         assert cfg.ctu_size in (32, 64, 128)
@@ -375,6 +377,20 @@ class FrameEncoder:
         self.maps = _Maps(W, H)
         self.cu_log: dict = {}       # (x, y) -> (kind, trial) at commit
         self.hmvp: list[inter.MotionInfo] = []
+        # batched integer-ME hints: one whole-frame device search per
+        # reference (ops/me_batch); the per-CU Python ME then only
+        # refines locally
+        self.me_hints = [None, None]
+        if slice_type != hls.I_SLICE and self.batched_me:
+            from ..ops import me_batch
+            if self.refs:
+                self.me_hints[0] = me_batch.MeHints(
+                    org_y.astype(np.int32), self.refs[0][1],
+                    self.me_range)
+            if self.refs_l1:
+                self.me_hints[1] = me_batch.MeHints(
+                    org_y.astype(np.int32), self.refs_l1[0][1],
+                    self.me_range)
         self.qp = qp
         bd = cfg.bit_depth
         self.qp_eff = qp + 6 * (bd - 8)
@@ -1030,18 +1046,45 @@ class FrameEncoder:
                                     self.ref_pocs, 0, target_list=lst,
                                     ref_poc_list1=self.ref_pocs_l1,
                                     tmvp=self.tmvp_ctx)
-        cx = x + (mvps[0][0] >> 4)
-        cy = y + (mvps[0][1] >> 4)
-        sr = self.me_range
-        best_sad, best_int = None, (0, 0)
-        for dy in range(-sr, sr + 1):
-            for dx in range(-sr, sr + 1):
-                px, py = cx + dx, cy + dy
-                win = inter._gather_clamped(ref_plane, px, py, w, h)
-                sad = int(np.abs(blk - win).sum())
-                if best_sad is None or sad < best_sad:
-                    best_sad = sad
-                    best_int = (px - x, py - y)
+        hints = self.me_hints[lst]
+        if hints is not None:
+            # batched-search hints: per-16x16 best integer MVs +
+            # MVP-predicted start, then a +-1 local refine
+            cand = {(mvps[0][0] >> 4, mvps[0][1] >> 4),
+                    (mvps[1][0] >> 4, mvps[1][1] >> 4), (0, 0)}
+            cand.update(hints.candidates(x, y, w, h))
+
+            def sad_at(ix, iy):
+                win = inter._gather_clamped(ref_plane, x + ix, y + iy,
+                                            w, h)
+                return int(np.abs(blk - win).sum())
+
+            best_sad, best_int = None, (0, 0)
+            for (ix, iy) in cand:
+                s = sad_at(ix, iy)
+                if best_sad is None or s < best_sad:
+                    best_sad, best_int = s, (ix, iy)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    s = sad_at(best_int[0] + dx, best_int[1] + dy)
+                    if s < best_sad:
+                        best_sad = s
+                        best_int = (best_int[0] + dx, best_int[1] + dy)
+        else:
+            cx = x + (mvps[0][0] >> 4)
+            cy = y + (mvps[0][1] >> 4)
+            sr = self.me_range
+            best_sad, best_int = None, (0, 0)
+            for dy in range(-sr, sr + 1):
+                for dx in range(-sr, sr + 1):
+                    px, py = cx + dx, cy + dy
+                    win = inter._gather_clamped(ref_plane, px, py, w, h)
+                    sad = int(np.abs(blk - win).sum())
+                    if best_sad is None or sad < best_sad:
+                        best_sad = sad
+                        best_int = (px - x, py - y)
         mv = (best_int[0] << 4, best_int[1] << 4)
         best_cost, best_mv = None, mv
         for qdy in range(-2, 3):
