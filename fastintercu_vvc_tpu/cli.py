@@ -32,7 +32,8 @@ def _encode(args) -> int:
         min_qt_inter=args.min_qt, log2_min_cu=3 if chroma420 else 2,
         max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
         qp=args.qp, sao=args.sao, mts_intra=args.mts,
-        temporal_mvp=args.tmvp, dep_quant=args.dep_quant)
+        temporal_mvp=args.tmvp, dep_quant=args.dep_quant,
+        alf=args.alf)
 
     frames = []
     for y, u, v in yuv.read_frames(args.input, args.width, args.height,
@@ -107,6 +108,8 @@ def main(argv=None) -> int:
     e.add_argument("--max-mtt", type=int, default=0)
     e.add_argument("--intra-period", type=int, default=0)
     e.add_argument("--me-range", type=int, default=8)
+    e.add_argument("--alf", action="store_true",
+                   help="enable the adaptive loop filter (luma)")
     e.add_argument("--dep-quant", action="store_true",
                    help="enable dependent quantization")
     e.add_argument("--tmvp", action="store_true",

@@ -451,12 +451,22 @@ class FrameEncoder:
                 self.recon_cr if self.chroma else None,
                 sao_params, cs, bd)
 
-        if sao_params is not None or self.two_pass:
+        alf_dec = None
+        if cfg.alf:
+            from ..ops import alf as alf_ops
+            ctb_on, ctb_set, a_cls, a_tr = alf_ops.estimate_frame(
+                self.org, self.recon, cs, bd, self.lam)
+            alf_ops.apply_frame(self.recon, ctb_on, ctb_set, a_cls,
+                                a_tr, cs, bd)
+            alf_dec = (ctb_on, ctb_set)
+
+        if sao_params is not None or alf_dec is not None or self.two_pass:
             # final entropy pass: replay the committed syntax (VTM
             # EncSlice::encodeSlice analogue) — required once loop-
             # filter syntax (sao) precedes each CTU, and runs the
             # whole slice on the native CABAC engine
-            payload, tail = self._replay_frame(ctx_slice, sao_params)
+            payload, tail = self._replay_frame(ctx_slice, sao_params,
+                                               alf_dec)
         else:
             enc.encode_bin_trm(1)
             if use_native:
@@ -491,7 +501,7 @@ class FrameEncoder:
     # decides, a separate pass entropy-codes, so loop-filter syntax
     # that precedes each CTU can be inserted after estimation)
 
-    def _replay_frame(self, ctx_slice, sao_params=None):
+    def _replay_frame(self, ctx_slice, sao_params=None, alf_dec=None):
         cfg = self.cfg
         H, W = self.org.shape
         cs = cfg.ctu_size
@@ -507,6 +517,11 @@ class FrameEncoder:
                     sao_ops.write_sao_ctu(
                         enc, sao_params, x // cs, y // cs,
                         self.chroma, cfg.bit_depth)
+                if alf_dec is not None:
+                    from ..ops import alf as alf_ops
+                    alf_ops.write_alf_ctu(enc, alf_dec[0], x // cs,
+                                          y // cs, alf_dec[1],
+                                          self.chroma)
                 self._replay_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                 None)
         enc.encode_bin_trm(1)

@@ -404,6 +404,13 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         w.write_uvlc(pic.slice_type)    # sh_slice_type
     if pic.nal_type in (NAL_CRA, NAL_IDR_N_LP, NAL_IDR_W_RADL):
         w.write_flag(0)                 # sh_no_output_of_prior_pics_flag
+    if cfg.alf:                         # sps on, alf info in SH
+        w.write_flag(1)                 # sh_alf_enabled_flag
+        w.write(0, 3)                   # sh_num_alf_aps_ids_luma (fixed
+        #                                 filter sets only, no APS)
+        if cfg.chroma_enabled:
+            w.write(0, 1)               # sh_alf_cb_enabled_flag
+            w.write(0, 1)               # sh_alf_cr_enabled_flag
     if not intra_only:
         # explicit ref_pic_lists in the slice header (sps has 0 RPL
         # candidates; IDR has no RPL since sps_idr_rpl_present=0)

@@ -1,0 +1,134 @@
+"""ALF (luma, fixed filter sets): classification, 7x7 diamond
+filtering with virtual-boundary handling, CTU syntax — oracle
+bit-exact."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from fastintercu_vvc_tpu.codec import encoder, gop, hls
+from fastintercu_vvc_tpu.ops import alf as alf_ops
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "oracle", "build", "vtm_decoder")
+needs_oracle = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                  reason="VTM oracle decoder not built")
+
+
+def test_fixed_filter_tables():
+    f = alf_ops.fixed_filter_sets()
+    assert f.shape == (16, 25, 12)
+    # the diamond's off-centre coefficients must sum to a sensible
+    # fraction of the 1<<7 DC weight (sanity, not normative)
+    assert np.abs(f).max() < 1 << 7
+
+
+def test_classification_shapes_and_range():
+    rng = np.random.RandomState(0)
+    plane = rng.randint(0, 1024, (128, 128)).astype(np.int32)
+    cls, tr = alf_ops.classify(plane, 10, 64)
+    assert cls.shape == (32, 32) and tr.shape == (32, 32)
+    assert cls.min() >= 0 and cls.max() < 25
+    assert tr.min() >= 0 and tr.max() < 4
+
+
+def mk(w, h, seed=3, noise=15):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(512 + 300 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+                   + rng.randint(-noise, noise, (h, w)),
+                   0, 1023).astype(np.int32)
+
+
+def oracle_y(bs, w, h, n=1):
+    with tempfile.TemporaryDirectory() as d:
+        bp, yp = os.path.join(d, "t.bin"), os.path.join(d, "t.yuv")
+        open(bp, "wb").write(bs)
+        r = subprocess.run([ORACLE, "-b", bp, "-o", yp],
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stdout.decode()[-1500:]
+        out = np.fromfile(yp, dtype="<u2")
+        assert out.size == n * w * h
+        return out.reshape(n, h, w).astype(int)
+
+
+@needs_oracle
+@pytest.mark.parametrize("qp", [27, 37])
+def test_alf_intra_multirow_bitexact(qp):
+    """Two CTU rows -> the virtual-boundary paths are active."""
+    w, h = 192, 128
+    org = mk(w, h, qp)
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_400,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        qp=qp, alf=True)
+    r = encoder.FrameEncoder(cfg).encode_frame(org, qp=qp)
+    np.testing.assert_array_equal(oracle_y(r.bitstream, w, h)[0],
+                                  r.recon)
+
+
+@needs_oracle
+def test_alf_engages_and_helps():
+    w, h = 192, 128
+    qp = 37
+    org = mk(w, h, 5)
+    psnr = {}
+    for alf in (False, True):
+        cfg = hls.SeqConfig(width=w, height=h,
+                            chroma_format=hls.CHROMA_400, ctu_size=64,
+                            min_qt_intra=16, min_qt_inter=16, qp=qp,
+                            alf=alf)
+        r = encoder.FrameEncoder(cfg).encode_frame(org, qp=qp)
+        np.testing.assert_array_equal(oracle_y(r.bitstream, w, h)[0],
+                                      r.recon)
+        mse = np.mean((r.recon - org).astype(float) ** 2)
+        psnr[alf] = 10 * np.log10(1023 ** 2 / mse)
+    assert psnr[True] >= psnr[False]
+
+
+@needs_oracle
+def test_alf_inter_420_with_sao_bitexact():
+    w, h = 128, 128
+    qp = 37
+    rng = np.random.RandomState(2)
+    cy, cx = np.mgrid[0:h // 2, 0:w // 2]
+    frames = []
+    for t in range(3):
+        y = np.clip(np.roll(mk(w, h, 2), 2 * t, axis=1)
+                    + rng.randint(-6, 6, (h, w)), 0, 1023).astype(np.int32)
+        u = np.clip(512 + 150 * np.sin((cx - t) / 7.0), 0,
+                    1023).astype(np.int32)
+        v = np.clip(512 - 120 * np.cos((cy - t) / 6.0), 0,
+                    1023).astype(np.int32)
+        frames.append((y, u, v))
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        log2_min_cu=3, qp=qp, alf=True, sao=True)
+    res = gop.SequenceEncoder(cfg, me_range=4).encode(frames, qp=qp)
+    with tempfile.TemporaryDirectory() as d:
+        bp, yp = os.path.join(d, "t.bin"), os.path.join(d, "t.yuv")
+        open(bp, "wb").write(res.bitstream)
+        r = subprocess.run([ORACLE, "-b", bp, "-o", yp],
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stdout.decode()[-1200:]
+        out = np.fromfile(yp, dtype="<u2")
+    per = w * h + 2 * (w // 2) * (h // 2)
+    for t in range(3):
+        f = out[t * per:(t + 1) * per]
+        np.testing.assert_array_equal(f[:w * h].reshape(h, w),
+                                      res.recons[t].recon)
+
+
+@needs_oracle
+def test_alf_ctu128_bitexact():
+    w = h = 128
+    qp = 32
+    org = mk(w, h, 9)
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_400,
+                        ctu_size=128, min_qt_intra=32, min_qt_inter=32,
+                        qp=qp, alf=True)
+    r = encoder.FrameEncoder(cfg).encode_frame(org, qp=qp)
+    np.testing.assert_array_equal(oracle_y(r.bitstream, w, h)[0],
+                                  r.recon)
