@@ -177,37 +177,56 @@ def _clamped_dy(dy, y, ctu_size):
     return dy
 
 
+@functools.lru_cache(maxsize=4)
+def _permuted_sets(set_idx: int) -> np.ndarray:
+    """[4, 25, 12]: per-transpose permuted coefficients of one set."""
+    filters = fixed_filter_sets()[set_idx]     # [25, 12]
+    return np.stack([filters[:, _TRANSPOSE_MAP[t]] for t in range(4)])
+
+
 def filter_ctb(src: np.ndarray, dst: np.ndarray, x0: int, y0: int,
                ctu_size: int, cls: np.ndarray, tr: np.ndarray,
                set_idx: int, bit_depth: int):
-    """Filter one luma CTB in-place into dst (reads pre-ALF src)."""
+    """Filter one luma CTB into dst (reads pre-ALF src). Vectorized:
+    per-pixel coefficient planes from the class/transpose maps, one
+    shifted-add per tap, per-row dy clamp for the 8 VB rows."""
     H, W = src.shape
     clip_hi = (1 << bit_depth) - 1
-    filters = fixed_filter_sets()[set_idx]     # [25, 12]
     p = np.pad(src.astype(np.int64), 3, mode="edge")
     y1, x1 = min(y0 + ctu_size, H), min(x0 + ctu_size, W)
-    for y in range(y0, y1):
-        yvb = y & (ctu_size - 1)
-        near_vb = (ctu_size - ALF_VB_POS_ABOVE - 1 <= yvb
-                   <= ctu_size - ALF_VB_POS_ABOVE)
-        sh = SHIFT + 3 if near_vb else SHIFT
-        off = 1 << (sh - 1)
-        for x in range(x0, x1):
-            c = int(cls[y // 4, x // 4])
-            t = int(tr[y // 4, x // 4])
-            coef = filters[c][_TRANSPOSE_MAP[t]]
-            cur = int(p[3 + y, 3 + x])
-            acc = 0
-            for k, (dy, dx) in enumerate(_TAPS7):
-                dyc = _clamped_dy(dy, y, ctu_size)
-                # when dy collapses to 0 at the VB row both operands
-                # clamp to the centre row (dx preserved)
-                dxp, dxm = dx, -dx
-                s0 = int(p[3 + y + dyc, 3 + x + dxp])
-                s1 = int(p[3 + y - dyc, 3 + x + dxm])
-                acc += int(coef[k]) * (s0 + s1 - 2 * cur)
-            val = cur + ((acc + off) >> sh)
-            dst[y, x] = min(max(val, 0), clip_hi)
+    bh, bw = y1 - y0, x1 - x0
+
+    csl = np.s_[y0 // 4:(y0 + bh + 3) // 4, x0 // 4:(x0 + bw + 3) // 4]
+    cblk = np.repeat(np.repeat(cls[csl], 4, 0), 4, 1)[:bh, :bw]
+    tblk = np.repeat(np.repeat(tr[csl], 4, 0), 4, 1)[:bh, :bw]
+    coefs = _permuted_sets(set_idx)[tblk, cblk]     # [bh, bw, 12]
+
+    ys = np.arange(y0, y1)
+    dyc = np.empty((bh, 12), np.int64)
+    for k, (dy, _) in enumerate(_TAPS7):
+        dyc[:, k] = [_clamped_dy(dy, int(y), ctu_size) for y in ys]
+
+    cur = p[3 + y0:3 + y1, 3 + x0:3 + x1]
+    acc = np.zeros((bh, bw), np.int64)
+    # group rows by their clamp vector (at most 9 distinct groups)
+    row_keys = [tuple(dyc[i]) for i in range(bh)]
+    for key in set(row_keys):
+        rows = np.asarray([i for i in range(bh) if row_keys[i] == key])
+        yy = ys[rows]
+        xsl = np.arange(x0, x1)
+        for k, (dy, dx) in enumerate(_TAPS7):
+            d = key[k]
+            s0 = p[3 + yy[:, None] + d, 3 + xsl[None, :] + dx]
+            s1 = p[3 + yy[:, None] - d, 3 + xsl[None, :] - dx]
+            acc[rows] += coefs[rows, :, k] * (s0 + s1 - 2 * cur[rows])
+
+    yvb = ys & (ctu_size - 1)
+    near = ((yvb >= ctu_size - ALF_VB_POS_ABOVE - 1)
+            & (yvb <= ctu_size - ALF_VB_POS_ABOVE))
+    sh = np.where(near, SHIFT + 3, SHIFT)[:, None]
+    off = (1 << (sh - 1))
+    val = cur + ((acc + off) >> sh)
+    dst[y0:y1, x0:x1] = np.clip(val, 0, clip_hi)
 
 
 def apply_frame(recon: np.ndarray, ctb_on: np.ndarray,
