@@ -67,7 +67,8 @@ def _encode(args) -> int:
         res = gop.SequenceResult(annexb(nals), recons, bits, types)
     else:
         se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
-                                 me_range=args.me_range)
+                                 me_range=args.me_range,
+                                 num_refs=args.refs)
         res = se.encode(frames, qp=args.qp)
     dt = time.perf_counter() - t0
 
@@ -108,6 +109,8 @@ def main(argv=None) -> int:
     e.add_argument("--max-mtt", type=int, default=0)
     e.add_argument("--intra-period", type=int, default=0)
     e.add_argument("--me-range", type=int, default=8)
+    e.add_argument("--refs", type=int, default=1,
+                   help="active reference frames per list")
     e.add_argument("--alf", action="store_true",
                    help="enable the adaptive loop filter (luma)")
     e.add_argument("--dep-quant", action="store_true",

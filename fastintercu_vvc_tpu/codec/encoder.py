@@ -318,7 +318,8 @@ class FrameEncoder:
     # ------------------------------------------------------------------
     def encode_frame(self, org, poc: int = 0, qp: int | None = None,
                      slice_type: int = hls.I_SLICE, refs=None,
-                     refs_l1=None, decisions=None) -> FrameResult:
+                     refs_l1=None, decisions=None, active_l0=None,
+                     active_l1=None) -> FrameResult:
         """org: luma plane (4:0:0) or (y, u, v) tuple (4:2:0).
         refs: L0 list of (poc, FrameResult-or-tuple); refs_l1: L1 list
         for B slices. decisions: optional batched-search decisions."""
@@ -351,6 +352,10 @@ class FrameEncoder:
         self.refs_l1 = norm_refs(refs_l1)
         self.ref_pocs = [e[0] for e in self.refs]
         self.ref_pocs_l1 = [e[0] for e in self.refs_l1]
+        # NumRefIdxActive per list (ref_idx signalling range); defaults
+        # to a single active reference per list
+        self.n_act0 = min(len(self.refs), active_l0 or 1)
+        self.n_act1 = min(len(self.refs_l1), active_l1 or 1)
         self.poc = poc
         # TMVP context: collocated picture = L0 ref 0 (we signal
         # sh_collocated_from_l0_flag = 1 for B; inferred for P)
@@ -380,16 +385,16 @@ class FrameEncoder:
         # batched integer-ME hints: one whole-frame device search per
         # reference (ops/me_batch); the per-CU Python ME then only
         # refines locally
-        self.me_hints = [None, None]
+        self.me_hints = {}
         if slice_type != hls.I_SLICE and self.batched_me:
             from ..ops import me_batch
-            if self.refs:
-                self.me_hints[0] = me_batch.MeHints(
-                    org_y.astype(np.int32), self.refs[0][1],
+            for ridx in range(self.n_act0):
+                self.me_hints[(0, ridx)] = me_batch.MeHints(
+                    org_y.astype(np.int32), self.refs[ridx][1],
                     self.me_range)
-            if self.refs_l1:
-                self.me_hints[1] = me_batch.MeHints(
-                    org_y.astype(np.int32), self.refs_l1[0][1],
+            for ridx in range(self.n_act1):
+                self.me_hints[(1, ridx)] = me_batch.MeHints(
+                    org_y.astype(np.int32), self.refs_l1[ridx][1],
                     self.me_range)
         self.qp = qp
         bd = cfg.bit_depth
@@ -482,7 +487,9 @@ class FrameEncoder:
             pic = hls.PicConfig(poc=poc, slice_type=slice_type,
                                 nal_type=hls.NAL_TRAIL, qp=qp,
                                 is_irap=False, ref_deltas_l0=deltas0,
-                                ref_deltas_l1=deltas1)
+                                ref_deltas_l1=deltas1,
+                                active_l0=self.n_act0,
+                                active_l1=self.n_act1)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         m = self.maps
@@ -866,10 +873,8 @@ class FrameEncoder:
                 consider("inter", it)
 
             merge_cands = inter.get_merge_candidates(
-                self.maps, self.hmvp, x, y, w, h,
-                min(1, len(self.refs)),
-                num_l1_refs=min(1, len(self.refs_l1)),
-                tmvp=self.tmvp_ctx)
+                self.maps, self.hmvp, x, y, w, h, self.n_act0,
+                num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
             seen = set()
             for m_idx, mi in enumerate(merge_cands):
                 key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
@@ -1051,17 +1056,26 @@ class FrameEncoder:
         return {"mode": mode, "tus": tus, "ssd": ssd}
 
     def _me_uni(self, x, y, w, h, blk, lst):
-        """Integer + quarter-pel ME against ref 0 of one list.
-        -> (mv_internal, mvp_idx, mvd_quarter) or None."""
+        """Integer + quarter-pel ME over the active references of one
+        list. -> (mv_internal, mvp_idx, mvd_quarter, ref_idx) or None."""
+        n_act = self.n_act0 if lst == 0 else self.n_act1
+        best = None
+        for ridx in range(n_act):
+            r = self._me_uni_ref(x, y, w, h, blk, lst, ridx)
+            if r is not None and (best is None or r[4] < best[4]):
+                best = r
+        return None if best is None else best[:4]
+
+    def _me_uni_ref(self, x, y, w, h, blk, lst, ridx):
         refs = self.refs if lst == 0 else self.refs_l1
         if not refs:
             return None
-        ref_plane = refs[0][1]
+        ref_plane = refs[ridx][1]
         mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
-                                    self.ref_pocs, 0, target_list=lst,
+                                    self.ref_pocs, ridx, target_list=lst,
                                     ref_poc_list1=self.ref_pocs_l1,
                                     tmvp=self.tmvp_ctx)
-        hints = self.me_hints[lst]
+        hints = self.me_hints.get((lst, ridx))
         if hints is not None:
             # batched-search hints: per-16x16 best integer MVs +
             # MVP-predicted start, then a +-1 local refine
@@ -1121,7 +1135,7 @@ class FrameEncoder:
         if (mvps[mvp_idx][0] + (mvd[0] << 2),
                 mvps[mvp_idx][1] + (mvd[1] << 2)) != mv:
             return None
-        return mv, mvp_idx, mvd
+        return mv, mvp_idx, mvd, ridx, best_cost
 
     def _inter_trial_tus(self, x, y, w, h, mi):
         """Motion-compensated prediction + per-TU transform/quant.
@@ -1155,18 +1169,18 @@ class FrameEncoder:
         r0 = self._me_uni(x, y, w, h, blk, 0)
         r1 = self._me_uni(x, y, w, h, blk, 1) if is_b else None
         if r0 is not None:
-            mi = inter.MotionInfo(1, r0[0], (0, 0), 0, -1)
+            mi = inter.MotionInfo(1, r0[0], (0, 0), r0[3], -1)
             trials.append(self._finish_inter_trial(
-                x, y, w, h, blk, mi, {0: (r0[1], r0[2])}))
+                x, y, w, h, blk, mi, {0: (r0[1], r0[2], r0[3])}))
         if r1 is not None:
-            mi = inter.MotionInfo(2, (0, 0), r1[0], -1, 0)
+            mi = inter.MotionInfo(2, (0, 0), r1[0], -1, r1[3])
             trials.append(self._finish_inter_trial(
-                x, y, w, h, blk, mi, {1: (r1[1], r1[2])}))
+                x, y, w, h, blk, mi, {1: (r1[1], r1[2], r1[3])}))
         if r0 is not None and r1 is not None:
-            mi = inter.MotionInfo(3, r0[0], r1[0], 0, 0)
+            mi = inter.MotionInfo(3, r0[0], r1[0], r0[3], r1[3])
             trials.append(self._finish_inter_trial(
                 x, y, w, h, blk, mi,
-                {0: (r0[1], r0[2]), 1: (r1[1], r1[2])}))
+                {0: (r0[1], r0[2], r0[3]), 1: (r1[1], r1[2], r1[3])}))
         return trials
 
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
@@ -1264,6 +1278,26 @@ class FrameEncoder:
                 if m_idx == idx:
                     break
 
+    def _write_ref_idx(self, lst, ref_idx):
+        """ref_idx binarization (CABACWriter.cpp:2162): two context
+        bins then EP unary, truncated at NumRefIdxActive - 1."""
+        enc = self.enc
+        num_ref = self.n_act0 if lst == 0 else self.n_act1
+        if num_ref <= 1:
+            return
+        enc.encode_bin(1 if ref_idx > 0 else 0, ctx_ids.RefPic[0])
+        if num_ref <= 2 or ref_idx == 0:
+            return
+        enc.encode_bin(1 if ref_idx > 1 else 0, ctx_ids.RefPic[0] + 1)
+        if num_ref <= 3 or ref_idx == 1:
+            return
+        for idx in range(3, num_ref):
+            if ref_idx > idx - 1:
+                enc.encode_bin_ep(1)
+            else:
+                enc.encode_bin_ep(0)
+                break
+
     def _write_leaf_merge(self, x, y, w, h, trial):
         enc = self.enc
         if trial["is_skip"]:
@@ -1308,12 +1342,13 @@ class FrameEncoder:
                 enc.encode_bin(1 if mi.inter_dir == 2 else 0,
                                ctx_ids.InterDir[0] + 5)
         if mi.inter_dir != 2:
-            # L0: ref_idx (single ref -> nothing), mvd, mvp
-            mvp_idx, mvd = sig[0]
+            mvp_idx, mvd, ridx = sig[0]
+            self._write_ref_idx(0, ridx)
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
         if mi.inter_dir != 1:
-            mvp_idx, mvd = sig[1]
+            mvp_idx, mvd, ridx = sig[1]
+            self._write_ref_idx(1, ridx)
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
         root_cbf = any(

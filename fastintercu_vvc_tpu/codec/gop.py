@@ -80,7 +80,7 @@ class SequenceEncoder:
                 refs = list(reversed(ref_queue[-self.num_refs:]))
                 r = self.frame_encoder.encode_frame(
                     frame, poc=poc, qp=qp, slice_type=hls.P_SLICE,
-                    refs=refs)
+                    refs=refs, active_l0=len(refs))
                 types.append("P")
             frame_nals = split_nals(r.bitstream)
             if poc == 0:

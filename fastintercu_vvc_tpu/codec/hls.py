@@ -343,6 +343,8 @@ class PicConfig:
     # closest first; empty for I
     ref_deltas_l0: tuple = ()
     ref_deltas_l1: tuple = ()
+    active_l0: int = 1          # NumRefIdxActive[0] (<= entries)
+    active_l1: int = 1
 
 
 def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
@@ -416,17 +418,27 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         # candidates; IDR has no RPL since sps_idr_rpl_present=0)
         _write_rpl(w, pic.ref_deltas_l0)
         _write_rpl(w, pic.ref_deltas_l1)
-        # num_ref_idx_active_override: only when list has > 1 entry
+        # num_ref_idx_active_override (VLCWriter.cpp:2380 area):
+        # with pps defaults of 1, override is needed whenever more
+        # than one reference should be active
         n0, n1 = len(pic.ref_deltas_l0), len(pic.ref_deltas_l1)
         is_b = pic.slice_type == B_SLICE
+        override = (pic.active_l0 > 1) or (is_b and pic.active_l1 > 1)
         if (n0 > 1) or (is_b and n1 > 1):
-            w.write_flag(0)             # sh_num_ref_idx_active_override_flag
+            w.write_flag(1 if override else 0)
+            if override:
+                if n0 > 1:
+                    w.write_uvlc(pic.active_l0 - 1)
+                if is_b and n1 > 1:
+                    w.write_uvlc(pic.active_l1 - 1)
         # cabac_init: pps flag 0 -> nothing
         if cfg.temporal_mvp:
-            # collocated picture = L0 ref 0 (VLCWriter.cpp:2423)
+            # collocated picture = L0 ref 0 (VLCWriter.cpp:2423);
+            # ref idx present iff the ACTIVE count of the collocated
+            # list exceeds 1
             if is_b:
                 w.write_flag(1)         # sh_collocated_from_l0_flag
-            if n0 > 1:
+            if pic.active_l0 > 1:
                 w.write_uvlc(0)         # sh_collocated_ref_idx
         # weighted pred off -> nothing
     # qp delta (pps_qp_delta_info_in_ph off)
