@@ -33,7 +33,7 @@ def _encode(args) -> int:
         max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
         qp=args.qp, sao=args.sao, mts_intra=args.mts,
         temporal_mvp=args.tmvp, dep_quant=args.dep_quant,
-        alf=args.alf)
+        alf=args.alf, picture_hash=args.hash)
 
     frames = []
     for y, u, v in yuv.read_frames(args.input, args.width, args.height,
@@ -111,6 +111,8 @@ def main(argv=None) -> int:
     e.add_argument("--me-range", type=int, default=8)
     e.add_argument("--refs", type=int, default=1,
                    help="active reference frames per list")
+    e.add_argument("--hash", action="store_true",
+                   help="append decoded-picture-hash (MD5) SEI")
     e.add_argument("--alf", action="store_true",
                    help="enable the adaptive loop filter (luma)")
     e.add_argument("--dep-quant", action="store_true",

@@ -491,6 +491,11 @@ class FrameEncoder:
                                 active_l0=self.n_act0,
                                 active_l1=self.n_act1)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
+        if cfg.picture_hash:
+            sei = hls.sei_picture_hash_nal(
+                self.recon, self.recon_cb if self.chroma else None,
+                self.recon_cr if self.chroma else None)
+            bs += b"\x00\x00\x00\x01" + sei
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         m = self.maps
         motion = inter.ColMotion(poc, m.inter_dir.copy(), m.mv0.copy(),

@@ -85,7 +85,7 @@ class SequenceEncoder:
             frame_nals = split_nals(r.bitstream)
             if poc == 0:
                 nals.extend(frame_nals[:2])       # SPS + PPS once
-            nals.append(frame_nals[2])            # the slice NAL
+            nals.extend(frame_nals[2:])           # slice (+ SEI) NALs
             ref_queue.append((poc, r))
             recons.append(r)
             bits.append(r.num_bits)
@@ -141,7 +141,7 @@ class RandomAccessEncoder:
             frame_nals = split_nals(r.bitstream)
             if not nals:
                 nals.extend(frame_nals[:2])
-            nals.append(frame_nals[2])
+            nals.extend(frame_nals[2:])
             done[poc] = r
             order_log.append((poc, typ, r.num_bits))
 

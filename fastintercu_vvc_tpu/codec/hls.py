@@ -31,6 +31,7 @@ NAL_VPS = 14
 NAL_SPS = 15
 NAL_PPS = 16
 NAL_PH = 19
+NAL_SUFFIX_SEI = 24
 
 B_SLICE, P_SLICE, I_SLICE = 0, 1, 2
 
@@ -103,6 +104,7 @@ class SeqConfig:
     max_merge_cand: int = 6
     max_affine_merge_cand: int = 5
     # misc
+    picture_hash: bool = False    # suffix-SEI MD5 per picture
     log2_max_poc_lsb: int = 8
     qp: int = 32                  # pps_init_qp
     deblocking: bool = False      # deblocking filter on/off
@@ -468,6 +470,32 @@ def slice_nal(cfg: SeqConfig, pic: PicConfig, cabac_payload: bytes,
         w.write(val, nbits)
     w.write_byte_alignment()            # rbsp_slice_trailing_bits
     return nal_unit(w.get_bytes(), pic.nal_type, temporal_id=pic.temporal_id)
+
+
+def sei_picture_hash_nal(recon_y, recon_cb=None, recon_cr=None) -> bytes:
+    """Suffix-SEI decoded_picture_hash (MD5) NAL: payload type 132
+    (SEIwrite.cpp:217 xWriteSEIDecodedPictureHash; PicYuvMD5.cpp
+    md5_plane: samples little-endian, 2 bytes at 10-bit). The
+    reference DecoderApp verifies this and prints [MD5:OK] per
+    picture."""
+    import hashlib
+    import numpy as np
+    planes = [recon_y]
+    if recon_cb is not None:
+        planes += [recon_cb, recon_cr]
+    w = BitWriter()
+    w.write(132, 8)                     # payload_type
+    w.write(2 + 16 * len(planes), 8)    # payload_size
+    w.write(0, 8)                       # dph_sei_hash_type = MD5
+    w.write_flag(1 if len(planes) == 1 else 0)  # single_component
+    w.write(0, 7)                       # reserved_zero_7bits
+    for p in planes:
+        digest = hashlib.md5(
+            np.ascontiguousarray(p.astype("<u2")).tobytes()).digest()
+        for byte in digest:
+            w.write(byte, 8)
+    w.write_byte_alignment()            # rbsp trailing bits
+    return nal_unit(w.get_bytes(), NAL_SUFFIX_SEI)
 
 
 def bitstream_for_frames(cfg: SeqConfig, frames: list) -> bytes:
