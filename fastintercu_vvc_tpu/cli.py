@@ -66,10 +66,15 @@ def _encode(args) -> int:
             types.append("I")
         res = gop.SequenceResult(annexb(nals), recons, bits, types)
     else:
+        rc = None
+        if args.bitrate:
+            from .codec.ratectrl import RateController
+            rc = RateController(args.bitrate * 1000, args.fps,
+                                args.width, args.height)
         se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
                                  me_range=args.me_range,
-                                 num_refs=args.refs)
-        res = se.encode(frames, qp=args.qp)
+                                 num_refs=args.refs, rate_control=rc)
+        res = se.encode(frames, qp=None if rc else args.qp)
     dt = time.perf_counter() - t0
 
     with open(args.bitstream, "wb") as f:
@@ -111,6 +116,9 @@ def main(argv=None) -> int:
     e.add_argument("--me-range", type=int, default=8)
     e.add_argument("--refs", type=int, default=1,
                    help="active reference frames per list")
+    e.add_argument("--bitrate", type=int, default=0,
+                   help="target bitrate in kbps (R-lambda rate control)")
+    e.add_argument("--fps", type=float, default=30.0)
     e.add_argument("--hash", action="store_true",
                    help="append decoded-picture-hash (MD5) SEI")
     e.add_argument("--alf", action="store_true",

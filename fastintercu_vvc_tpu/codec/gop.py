@@ -55,10 +55,11 @@ class SequenceEncoder:
     """Low-delay IPPP encoder over a list of frames."""
 
     def __init__(self, cfg: hls.SeqConfig, intra_period: int = 0,
-                 num_refs: int = 1, **enc_kwargs):
+                 num_refs: int = 1, rate_control=None, **enc_kwargs):
         self.cfg = cfg
         self.intra_period = intra_period   # 0 = first frame only
         self.num_refs = num_refs
+        self.rate_control = rate_control   # codec.ratectrl.RateController
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
     def encode(self, frames: list[np.ndarray],
@@ -71,6 +72,8 @@ class SequenceEncoder:
         for poc, frame in enumerate(frames):
             is_intra = poc == 0 or (
                 self.intra_period > 0 and poc % self.intra_period == 0)
+            if self.rate_control is not None:
+                qp = self.rate_control.qp_for_frame(is_intra)
             if is_intra:
                 r = self.frame_encoder.encode_frame(
                     frame, poc=poc, qp=qp, slice_type=hls.I_SLICE)
@@ -86,6 +89,8 @@ class SequenceEncoder:
             if poc == 0:
                 nals.extend(frame_nals[:2])       # SPS + PPS once
             nals.extend(frame_nals[2:])           # slice (+ SEI) NALs
+            if self.rate_control is not None:
+                self.rate_control.update(qp, r.num_bits)
             ref_queue.append((poc, r))
             recons.append(r)
             bits.append(r.num_bits)

@@ -1,0 +1,77 @@
+"""Per-picture R-lambda rate control: adaptation, proportionality,
+stream validity."""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from fastintercu_vvc_tpu.codec import gop, hls
+from fastintercu_vvc_tpu.codec.ratectrl import RateController
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "oracle", "build", "vtm_decoder")
+
+
+def mk(w, h, n):
+    rng = np.random.RandomState(4)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx = np.mgrid[0:h // 2, 0:w // 2]
+    fs = []
+    for t in range(n):
+        y = np.clip(512 + 220 * np.sin((xx - 3 * t) / 13.0)
+                    * np.cos((yy - t) / 17.0)
+                    + rng.randint(-10, 10, (h, w)), 0, 1023).astype(np.int32)
+        u = np.clip(512 + 150 * np.sin((cx - t) / 7.0), 0,
+                    1023).astype(np.int32)
+        v = np.clip(512 - 120 * np.cos((cy - t) / 6.0), 0,
+                    1023).astype(np.int32)
+        fs.append((y, u, v))
+    return fs
+
+
+def encode_at(frames, w, h, kbps, fps=30):
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        log2_min_cu=3, qp=32)
+    rc = RateController(kbps * 1000, fps, w, h)
+    return gop.SequenceEncoder(cfg, me_range=6,
+                               rate_control=rc).encode(frames)
+
+
+def test_rate_control_tracks_and_scales():
+    w = h = 128
+    frames = mk(w, h, 8)
+    fps = 30
+    lo = encode_at(frames, w, h, 60, fps)
+    hi = encode_at(frames, w, h, 240, fps)
+    lo_bits, hi_bits = sum(lo.frame_bits), sum(hi.frame_bits)
+    # proportionality: 4x the target should land within [2x, 8x]
+    assert 2.0 <= hi_bits / lo_bits <= 8.0
+    # both within 50% of their targets over this short warm-up window
+    for bits, kbps in ((lo_bits, 60), (hi_bits, 240)):
+        target = kbps * 1000 * 8 / fps
+        assert 0.5 <= bits / target <= 1.5, (bits, target)
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE),
+                    reason="VTM oracle decoder not built")
+def test_rate_control_stream_bitexact():
+    w = h = 128
+    frames = mk(w, h, 6)
+    res = encode_at(frames, w, h, 120)
+    with tempfile.TemporaryDirectory() as d:
+        bp, yp = os.path.join(d, "t.bin"), os.path.join(d, "t.yuv")
+        open(bp, "wb").write(res.bitstream)
+        r = subprocess.run([ORACLE, "-b", bp, "-o", yp],
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stdout.decode()[-1200:]
+        out = np.fromfile(yp, dtype="<u2")
+    per = w * h + 2 * (w // 2) * (h // 2)
+    assert out.size == 6 * per
+    for t in range(6):
+        np.testing.assert_array_equal(
+            out[t * per:t * per + w * h].reshape(h, w).astype(int),
+            res.recons[t].recon)
