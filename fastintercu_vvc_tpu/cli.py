@@ -46,25 +46,32 @@ def _encode(args) -> int:
 
     t0 = time.perf_counter()
     if args.batched:
-        # TPU-first pipeline: batched whole-frame search (org-referenced
-        # level DP on device) + native-CABAC commit pass; all-intra.
-        from .codec import batch_search, encoder
-        from .utils.bitstream import annexb
-        fe = encoder.FrameEncoder(cfg)
-        nals, recons, bits, types = [], [], [], []
-        for poc, fr in enumerate(frames):
-            luma = fr[0] if chroma420 else fr
-            dec = batch_search.search_intra_frame(luma, cfg, qp=args.qp)
-            r = fe.encode_frame(fr, poc=poc, qp=args.qp,
-                                slice_type=hls.I_SLICE, decisions=dec)
-            frame_nals = gop.split_nals(r.bitstream)
-            if poc == 0:
-                nals.extend(frame_nals[:2])
-            nals.append(frame_nals[2])
-            recons.append(r)
-            bits.append(r.num_bits)
-            types.append("I")
-        res = gop.SequenceResult(annexb(nals), recons, bits, types)
+        # TPU-first pipeline: batched whole-frame search (intra level
+        # DP + inter full-search on device) + native-CABAC commit
+        se = gop.BatchedSequenceEncoder(cfg, me_range=args.me_range)
+        if args.intra_period == 1:
+            # all-intra: encode each frame independently
+            from .codec import batch_search, encoder
+            from .utils.bitstream import annexb
+            fe = encoder.FrameEncoder(cfg)
+            nals, recons, bits, types = [], [], [], []
+            for poc, fr in enumerate(frames):
+                luma = fr[0] if chroma420 else fr
+                dec = batch_search.search_intra_frame(luma, cfg,
+                                                      qp=args.qp)
+                r = fe.encode_frame(fr, poc=poc, qp=args.qp,
+                                    slice_type=hls.I_SLICE,
+                                    decisions=dec)
+                frame_nals = gop.split_nals(r.bitstream)
+                if poc == 0:
+                    nals.extend(frame_nals[:2])
+                nals.extend(frame_nals[2:])
+                recons.append(r)
+                bits.append(r.num_bits)
+                types.append("I")
+            res = gop.SequenceResult(annexb(nals), recons, bits, types)
+        else:
+            res = se.encode(frames, qp=args.qp)
     else:
         rc = None
         if args.bitrate:
@@ -132,8 +139,8 @@ def main(argv=None) -> int:
     e.add_argument("--sao", action="store_true",
                    help="enable SAO in-loop filtering")
     e.add_argument("--batched", action="store_true",
-                   help="all-intra via the batched TPU search pipeline "
-                        "+ native-CABAC commit pass")
+                   help="batched TPU search pipeline + native-CABAC "
+                        "commit (IPPP; --intra-period 1 for all-intra)")
     e.add_argument("--chroma400", action="store_true",
                    help="input is luma-only (4:0:0)")
     e.add_argument("--recon", default=None,

@@ -82,6 +82,131 @@ def _level_cost(tops, lefts, blocks, s):
     return best_mode.astype(jnp.int32), best_cost.astype(jnp.int64)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _inter_satd(org, pred, s):
+    """[N] SATD between co-indexed blocks of two planes cut into
+    s x s blocks."""
+    H, W = org.shape
+    nby, nbx = H // s, W // s
+
+    def blocks(p):
+        return (p.reshape(nby, s, nbx, s).swapaxes(1, 2)
+                .reshape(-1, s, s))
+    a, b = blocks(org), blocks(pred)
+    if s >= 8:
+        return rdcost.satd(a[None], b[None])[0]
+    return rdcost.satd4(a[None], b[None])[0]
+
+
+def search_inter_frame(org: np.ndarray, ref: np.ndarray,
+                       cfg: hls.SeqConfig, qp: int, me_range: int = 16,
+                       split_hints: np.ndarray | None = None
+                       ) -> SearchDecisions:
+    """Batched whole-frame P-slice search (the FastInterCU deployment
+    path): per QT level, a device full-search supplies the best
+    integer MV per block (ops/me_batch._full_search) and its
+    motion-compensated SATD competes with the batched 67-mode intra
+    SATD; a bottom-up DP picks the partition; decisions feed the
+    commit pass (("inter", mv_internal) or intra mode per leaf).
+
+    split_hints: the MLT-CNN pruning contract at the CTU root, as in
+    search_intra_frame.
+    """
+    from ..ops import me_batch
+
+    H, W = org.shape
+    cs = cfg.ctu_size
+    min_qt = cfg.min_qt_inter
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    lam_satd = np.sqrt(lam)
+
+    sizes = []
+    s = cs
+    while s >= min_qt:
+        sizes.append(s)
+        s //= 2
+
+    jorg = jnp.asarray(org)
+    jref = jnp.asarray(ref)
+    level = {}
+    for s in sizes:
+        # intra leg (org-referenced, as in all-intra search)
+        tops, lefts = _block_refs_from_plane(org, s)
+        blocks = _blocks(org, s)
+        imode, icost = _level_cost(jnp.asarray(tops), jnp.asarray(lefts),
+                                   jnp.asarray(blocks), s)
+        # inter leg: integer full search then MC-SATD of the winner
+        dy, dx, _ = me_batch._full_search(jorg, jref, s, int(me_range))
+        dy, dx = np.asarray(dy), np.asarray(dx)
+        nby, nbx = H // s, W // s
+        pred = np.empty((H, W), org.dtype)
+        pad = np.pad(ref, me_range, mode="edge")
+        for by in range(nby):
+            for bx in range(nbx):
+                yy, xx = by * s, bx * s
+                pred[yy:yy + s, xx:xx + s] = pad[
+                    me_range + yy + dy[by, bx]:
+                    me_range + yy + dy[by, bx] + s,
+                    me_range + xx + dx[by, bx]:
+                    me_range + xx + dx[by, bx] + s]
+        pcost = np.asarray(_inter_satd(jorg, jnp.asarray(pred), s),
+                           np.float64)
+        mv_bits = (np.abs(dy) + np.abs(dx)).reshape(-1) * 0.5 + 2.0
+        icost = np.asarray(icost).astype(np.float64) + lam_satd * 4.0
+        pcost = pcost + lam_satd * mv_bits
+        use_inter = pcost < icost
+        best = np.where(use_inter, pcost, icost)
+        level[s] = {
+            "cost": best.reshape(nby, nbx),
+            "imode": np.asarray(imode).reshape(nby, nbx),
+            "inter": use_inter.reshape(nby, nbx),
+            "mvx": dx * 16, "mvy": dy * 16,
+        }
+
+    split = {}
+    total = {sizes[-1]: level[sizes[-1]]["cost"]}
+    for s in sizes[-1:0:-1]:
+        parent = s * 2
+        child_tot = total[s]
+        nby, nbx = child_tot.shape
+        agg = (child_tot.reshape(nby // 2, 2, nbx // 2, 2)
+               .sum(axis=(1, 3)) + lam_satd * 2.0)
+        leaf = level[parent]["cost"]
+        total[parent] = np.minimum(leaf, agg)
+        split[parent] = agg < leaf
+
+    dec_split = {}
+    dec_mode = {}
+
+    def walk(x, y, s, forced=None):
+        bx, by = x // s, y // s
+        do_split = bool(split[s][by, bx]) if s > min_qt else False
+        if forced is not None:
+            do_split = bool(forced)
+        dec_split[(x, y, s)] = do_split
+        if do_split:
+            hs = s // 2
+            for (cx, cy) in ((x, y), (x + hs, y), (x, y + hs),
+                             (x + hs, y + hs)):
+                walk(cx, cy, hs)
+        else:
+            lv = level[s]
+            if lv["inter"][by, bx]:
+                dec_mode[(x, y, s)] = (
+                    "inter", (int(lv["mvx"][by, bx]),
+                              int(lv["mvy"][by, bx])))
+            else:
+                dec_mode[(x, y, s)] = int(lv["imode"][by, bx])
+
+    for cy in range(H // cs):
+        for cx_ in range(W // cs):
+            forced = None
+            if split_hints is not None and split_hints[cy, cx_] >= 0:
+                forced = split_hints[cy, cx_] == 1
+            walk(cx_ * cs, cy * cs, cs, forced)
+    return SearchDecisions(dec_split, dec_mode)
+
+
 def search_intra_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                        split_hints: np.ndarray | None = None
                        ) -> SearchDecisions:

@@ -834,6 +834,55 @@ class FrameEncoder:
         self.recon_cb[yc:yc + hc, xc:xc + wc] = chroma_outs[0][1]
         self.recon_cr[yc:yc + hc, xc:xc + wc] = chroma_outs[1][1]
 
+    def _forced_inter_leaf(self, x, y, w, h, qt_depth, blk, mv):
+        """Commit one batched-search inter decision: merge when the MV
+        matches a candidate (skip if zero residual), else L0/ref0 AMVP
+        with exact mvp+mvd signalling."""
+        mv = (inter.mv_round_to_quarter(mv[0]),
+              inter.mv_round_to_quarter(mv[1]))
+        merge_cands = inter.get_merge_candidates(
+            self.maps, self.hmvp, x, y, w, h, self.n_act0,
+            num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
+        m_idx = mi = None
+        for i, c in enumerate(merge_cands):
+            if c.inter_dir == 1 and c.ref0 == 0 and c.mv0 == mv:
+                m_idx, mi = i, c
+                break
+        if m_idx is not None:
+            trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
+            self._write_leaf_merge(x, y, w, h, trial)
+        else:
+            mvps = inter.fill_mvp_cands(
+                self.maps, self.hmvp, x, y, w, h, self.ref_pocs, 0,
+                target_list=0, ref_poc_list1=self.ref_pocs_l1,
+                tmvp=self.tmvp_ctx)
+
+            def mvd_q(p):
+                return (inter.mv_internal_to_quarter(mv[0] - p[0]),
+                        inter.mv_internal_to_quarter(mv[1] - p[1]))
+            costs = [abs(mvd_q(p)[0]) + abs(mvd_q(p)[1]) for p in mvps]
+            mvp_idx = int(np.argmin(costs))
+            mvd = mvd_q(mvps[mvp_idx])
+            mv = (mvps[mvp_idx][0] + (mvd[0] << 2),
+                  mvps[mvp_idx][1] + (mvd[1] << 2))
+            mi = inter.MotionInfo(1, mv, (0, 0), 0, -1)
+            trial = self._finish_inter_trial(x, y, w, h, blk, mi,
+                                             {0: (mvp_idx, mvd, 0)})
+            self._write_leaf_inter(x, y, w, h, trial)
+        mi = trial["mi"]
+        self._commit_trial_recon(trial)
+        rp0 = self.ref_pocs[mi.ref0] if mi.ref0 >= 0 else -1
+        rp1 = self.ref_pocs_l1[mi.ref1] if mi.ref1 >= 0 else -1
+        self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi,
+                                skip=trial.get("is_skip", False),
+                                cbfs=self._trial_cbfs(trial),
+                                ref_poc0=rp0, ref_poc1=rp1)
+        self._mark_tu_cbfs(trial)
+        self.cu_log[(x, y)] = (
+            "merge" if "m_idx" in trial else "inter", trial)
+        inter.hmvp_update(self.hmvp, mi)
+        return trial["ssd"]
+
     # ------------------------------------------------------------------
     def _encode_leaf(self, x, y, w, h, qt_depth, forced_mode=None) -> float:
         enc = self.enc
@@ -841,6 +890,12 @@ class FrameEncoder:
         blk = self.org[y:y + h, x:x + w]
 
         if forced_mode is not None:
+            # batched-search decision: int -> intra mode;
+            # ("inter", mv_internal) -> L0 ref-0 AMVP with that MV
+            if isinstance(forced_mode, tuple) and \
+                    forced_mode[0] == "inter":
+                return self._forced_inter_leaf(x, y, w, h, qt_depth,
+                                               blk, forced_mode[1])
             trial = self._eval_intra_mode(x, y, w, h, blk, forced_mode)
             self._write_leaf_intra(x, y, w, h, trial)
             self._commit_intra(x, y, w, h, qt_depth, trial)

@@ -98,6 +98,63 @@ class SequenceEncoder:
         return SequenceResult(annexb(nals), recons, bits, types)
 
 
+class BatchedSequenceEncoder:
+    """TPU-first IPPP: batched whole-frame search for BOTH intra and
+    inter frames (codec/batch_search) + decisions-driven commit pass —
+    the FastInterCU deployment loop with the per-CU CUDA round trips
+    replaced by whole-frame device passes.
+
+    split_hints_fn: optional callable (luma, prev_recon_or_None, poc)
+    -> per-CTU hint array (the MLT-CNN pruning contract,
+    models.pruning.split_hints_from_classes).
+    """
+
+    def __init__(self, cfg: hls.SeqConfig, me_range: int = 16,
+                 split_hints_fn=None, **enc_kwargs):
+        self.cfg = cfg
+        self.me_range = me_range
+        self.split_hints_fn = split_hints_fn
+        self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
+
+    def encode(self, frames: list, qp: int | None = None
+               ) -> SequenceResult:
+        from . import batch_search
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        chroma = cfg.chroma_format != hls.CHROMA_400
+        nals, recons, bits, types = [], [], [], []
+        prev = None
+        for poc, fr in enumerate(frames):
+            luma = fr[0] if chroma else fr
+            hints = None
+            if self.split_hints_fn is not None:
+                hints = self.split_hints_fn(
+                    luma, prev.recon if prev else None, poc)
+            if poc == 0:
+                dec = batch_search.search_intra_frame(
+                    luma, cfg, qp, split_hints=hints)
+                r = self.frame_encoder.encode_frame(
+                    fr, poc=poc, qp=qp, slice_type=hls.I_SLICE,
+                    decisions=dec)
+                types.append("I")
+            else:
+                dec = batch_search.search_inter_frame(
+                    luma, prev.recon, cfg, qp, me_range=self.me_range,
+                    split_hints=hints)
+                r = self.frame_encoder.encode_frame(
+                    fr, poc=poc, qp=qp, slice_type=hls.P_SLICE,
+                    refs=[(poc - 1, prev)], decisions=dec)
+                types.append("P")
+            frame_nals = split_nals(r.bitstream)
+            if poc == 0:
+                nals.extend(frame_nals[:2])
+            nals.extend(frame_nals[2:])
+            recons.append(r)
+            bits.append(r.num_bits)
+            prev = r
+        return SequenceResult(annexb(nals), recons, bits, types)
+
+
 class RandomAccessEncoder:
     """Hierarchical-B random-access encoder (capability parity with the
     CTC RA config's GOP pyramid, EncGOP::compressGOP coding-order
