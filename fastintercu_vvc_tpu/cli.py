@@ -35,6 +35,12 @@ def _encode(args) -> int:
         temporal_mvp=args.tmvp, dep_quant=args.dep_quant,
         alf=args.alf, picture_hash=args.hash)
 
+    if args.trace:
+        from .utils import trace as _trace
+        _trace.open_trace(args.trace,
+                          args.trace_channels.split(",")
+                          if args.trace_channels else None)
+
     frames = []
     for y, u, v in yuv.read_frames(args.input, args.width, args.height,
                                    args.bit_depth, chroma420=chroma420,
@@ -145,6 +151,10 @@ def main(argv=None) -> int:
                    help="input is luma-only (4:0:0)")
     e.add_argument("--recon", default=None,
                    help="write reconstruction YUV")
+    e.add_argument("--trace", default=None,
+                   help="write a JSONL encode trace to this path")
+    e.add_argument("--trace-channels", default=None,
+                   help="comma list: frame,cu,sao,rc (default all)")
     e.set_defaults(fn=_encode)
 
     args = p.parse_args(argv)

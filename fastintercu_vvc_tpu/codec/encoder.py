@@ -30,6 +30,7 @@ import functools
 import numpy as np
 
 from ..ops import intra, inter, transforms_np as tnp
+from ..utils import trace
 from .. import native
 from . import cabac, contexts, ctx_ids, hls, partition, residual
 
@@ -497,6 +498,36 @@ class FrameEncoder:
                 self.recon_cr if self.chroma else None)
             bs += b"\x00\x00\x00\x01" + sei
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
+        if trace.enabled("cu"):
+            # final committed decisions only (losing RD branches also
+            # pass through the commit helpers, so emit from cu_log)
+            m = self.maps
+            for (cx, cy), (kind, trial) in sorted(self.cu_log.items(),
+                                                  key=lambda e: (e[0][1],
+                                                                 e[0][0])):
+                g = (cy // 4, cx // 4)
+                ev = {"poc": poc, "x": cx, "y": cy,
+                      "w": int(m.cu_w[g]), "h": int(m.cu_h[g])}
+                if kind == "intra":
+                    ev.update(kind="intra", mode=trial["mode"],
+                              mts=trial.get("mts_idx", 0))
+                else:
+                    mi2 = trial["mi"]
+                    ev.update(kind=kind,
+                              skip=trial.get("is_skip", False),
+                              dir=mi2.inter_dir, mv0=list(mi2.mv0),
+                              mv1=list(mi2.mv1), ref0=mi2.ref0,
+                              ref1=mi2.ref1)
+                trace.event("cu", **ev)
+        if trace.enabled("frame"):
+            d = (self.org - self.recon).astype(np.float64)
+            psnr = 10 * np.log10(((1 << bd) - 1) ** 2
+                                 / max(float((d * d).mean()), 1e-9))
+            trace.event("frame", poc=poc,
+                        slice=("I", "P", "B")[
+                            {hls.I_SLICE: 0, hls.P_SLICE: 1,
+                             hls.B_SLICE: 2}[slice_type]],
+                        qp=qp, bits=len(bs) * 8, psnr_y=round(psnr, 3))
         m = self.maps
         motion = inter.ColMotion(poc, m.inter_dir.copy(), m.mv0.copy(),
                                  m.ref_poc.copy(), m.mv1.copy(),

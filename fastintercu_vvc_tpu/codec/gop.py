@@ -14,6 +14,7 @@ import dataclasses
 import numpy as np
 
 from ..utils.bitstream import annexb, nal_unit
+from ..utils import trace
 from . import encoder, hls
 
 
@@ -91,6 +92,12 @@ class SequenceEncoder:
             nals.extend(frame_nals[2:])           # slice (+ SEI) NALs
             if self.rate_control is not None:
                 self.rate_control.update(qp, r.num_bits)
+                if trace.enabled("rc"):
+                    trace.event("rc", poc=poc, qp=qp, bits=r.num_bits,
+                                surplus=round(
+                                    self.rate_control.surplus, 1),
+                                alpha=round(self.rate_control.alpha, 4),
+                                beta=round(self.rate_control.beta, 4))
             ref_queue.append((poc, r))
             recons.append(r)
             bits.append(r.num_bits)
