@@ -33,7 +33,8 @@ def _encode(args) -> int:
         max_mtt_depth_intra=args.max_mtt, max_mtt_depth_inter=args.max_mtt,
         qp=args.qp, sao=args.sao, mts_intra=args.mts,
         temporal_mvp=args.tmvp, dep_quant=args.dep_quant,
-        alf=args.alf, picture_hash=args.hash)
+        alf=args.alf, picture_hash=args.hash,
+        transform_skip=args.transform_skip)
 
     if args.trace:
         from .utils import trace as _trace
@@ -132,6 +133,8 @@ def main(argv=None) -> int:
     e.add_argument("--bitrate", type=int, default=0,
                    help="target bitrate in kbps (R-lambda rate control)")
     e.add_argument("--fps", type=float, default=30.0)
+    e.add_argument("--transform-skip", action="store_true",
+                   help="enable 4x4 transform skip (screen content)")
     e.add_argument("--hash", action="store_true",
                    help="append decoded-picture-hash (MD5) SEI")
     e.add_argument("--alf", action="store_true",

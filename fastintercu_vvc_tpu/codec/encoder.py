@@ -790,6 +790,25 @@ class FrameEncoder:
             return q, _clip_pel(pred + r, bd), True
         return q, _clip_pel(pred, bd), False
 
+    def _tq_ts(self, blk, pred, qp_eff):
+        """Transform skip: quantize the residual directly with the
+        transform shift folded out and Qp' clamped to the TS minimum
+        (QpParam ctor, Quant.cpp:97)."""
+        bd = self.cfg.bit_depth
+        qp_ts = max(qp_eff, 4)
+        q = tnp.quant(blk - pred, qp_ts, bit_depth=bd,
+                      is_irap=self.slice_type == hls.I_SLICE,
+                      transform_skip=True)
+        if np.any(q):
+            r = tnp.dequant(q, qp_ts, bit_depth=bd, transform_skip=True)
+            return q, _clip_pel(pred + r, bd), True
+        return q, _clip_pel(pred, bd), False
+
+    def _ts_allowed(self, w, h):
+        """TU::isTSAllowed for luma (UnitTools.cpp:3844; max 4x4)."""
+        return (self.cfg.transform_skip and not self.cfg.dep_quant
+                and w <= 4 and h <= 4)
+
     def _tq(self, blk, pred, qp_eff):
         if self.cfg.dep_quant:
             return self._tq_mts(blk, pred, qp_eff, 0)
@@ -1082,9 +1101,15 @@ class FrameEncoder:
                 if cost < best[0]:
                     best = (cost, idx, q2, recon2, cbf2)
             _, mts_idx, q, recon, cbf = best
+        ts = False
+        if self._ts_allowed(w, h) and mts_idx == 0:
+            q2, recon2, cbf2 = self._tq_ts(blk, pred, self.qp_eff)
+            if self._coeff_cost_proxy(blk, recon2, q2) < \
+                    self._coeff_cost_proxy(blk, recon, q):
+                q, recon, cbf, ts = q2, recon2, cbf2, True
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
         tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
-              "recon": recon, "chroma": None}
+              "recon": recon, "chroma": None, "ts": ts}
         if self.chroma:
             ch = self._chroma_intra(x, y, w, h, mode)
             tu["chroma"] = ch
@@ -1302,13 +1327,24 @@ class FrameEncoder:
         if not infer_luma_cbf:
             enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
         dq = self.cfg.dep_quant
+        ts_cfg = self.cfg.transform_skip
         if tu["cbf"]:
+            # ts_flag precedes the residual (residual_coding entry,
+            # CABACWriter.cpp:2632) when TS is allowed for the TB
+            if ts_cfg and tu["w"] <= 4 and tu["h"] <= 4:
+                enc.encode_bin(1 if tu.get("ts") else 0,
+                               ctx_ids.TransformSkipFlag[0])
             residual.write_residual_coding(enc, tu["q"], residual.LUMA,
-                                           dep_quant=dq)
+                                           dep_quant=dq and
+                                           not tu.get("ts"))
         if cbf_cb:
+            if ts_cfg and tu["w"] // 2 <= 4 and tu["h"] // 2 <= 4:
+                enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[0][0],
                                            residual.CHROMA, dep_quant=dq)
         if cbf_cr:
+            if ts_cfg and tu["w"] // 2 <= 4 and tu["h"] // 2 <= 4:
+                enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[1][0],
                                            residual.CHROMA, dep_quant=dq)
 
@@ -1332,7 +1368,7 @@ class FrameEncoder:
         if not self._mts_allowed(w, h):
             return
         tu = trial["tus"][0]
-        if not tu["cbf"]:
+        if not tu["cbf"] or tu.get("ts"):
             return
         mts_last, violates = self._mts_scan_flags(tu["q"])
         if not mts_last or violates:

@@ -453,8 +453,9 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
     # deblocking control: override disabled -> nothing
     if cfg.dep_quant:
         w.write_flag(1)                 # sh_dep_quant_used_flag
-    # sign hiding / ts residual coding: sps off (or dep-quant on)
-    # -> nothing
+    # sign hiding: sps off -> nothing
+    if cfg.transform_skip and not cfg.dep_quant:
+        w.write_flag(1)   # sh_ts_residual_coding_disabled_flag (RRC)
     return w
 
 
