@@ -518,6 +518,8 @@ class FrameEncoder:
                               dir=mi2.inter_dir, mv0=list(mi2.mv0),
                               mv1=list(mi2.mv1), ref0=mi2.ref0,
                               ref1=mi2.ref1)
+                    if trial.get("mmvd_idx") is not None:
+                        ev["mmvd"] = trial["mmvd_idx"]
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -998,6 +1000,12 @@ class FrameEncoder:
                 self._write_leaf_merge(x, y, w, h, trial)
                 consider("merge", trial)
 
+            if self.cfg.mmvd:
+                for trial in self._try_mmvd(x, y, w, h, blk, merge_cands,
+                                            seen):
+                    self._write_leaf_merge(x, y, w, h, trial)
+                    consider("merge", trial)
+
         cost, kind, trial, end_state = best
         _EncState.restore(enc, end_state)
         if kind == "intra":
@@ -1299,6 +1307,38 @@ class FrameEncoder:
                 {0: (r0[1], r0[2], r0[3]), 1: (r1[1], r1[2], r1[3])}))
         return trials
 
+    def _try_mmvd(self, x, y, w, h, blk, merge_cands, seen,
+                  num_full_rd: int = 2):
+        """MMVD trials: cheap integer-pel SAD over all 64 refinement
+        candidates (EncCu SATD pre-pass analogue), full RD on the best
+        few. Candidates whose final motion duplicates a tested merge
+        candidate are skipped (they would cost strictly more bits)."""
+        bases = merge_cands[:inter.MMVD_BASE_MV_NUM]
+        scored = []
+        for ci in range(inter.MMVD_ADD_NUM):
+            mi = inter.mmvd_motion(bases, ci, self.poc, self.ref_pocs,
+                                   self.ref_pocs_l1, w, h)
+            if mi.ref0 >= len(self.refs) or \
+                    (mi.inter_dir & 2 and mi.ref1 >= len(self.refs_l1)):
+                continue
+            key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
+            if key in seen:
+                continue
+            if mi.inter_dir & 1:
+                ref, mv = self.refs[mi.ref0][1], mi.mv0
+            else:
+                ref, mv = self.refs_l1[mi.ref1][1], mi.mv1
+            win = inter._gather_clamped(ref, x + (mv[0] >> 4),
+                                        y + (mv[1] >> 4), w, h)
+            scored.append((int(np.abs(blk - win).sum()), ci, mi))
+        scored.sort(key=lambda e: e[:2])
+        out = []
+        for _, ci, mi in scored[:num_full_rd]:
+            trial = self._eval_merge(x, y, w, h, blk, mi, None)
+            trial["mmvd_idx"] = ci
+            out.append(trial)
+        return out
+
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
         tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
         trial = {"mi": mi, "m_idx": m_idx, "tus": tus, "ssd": ssd}
@@ -1405,6 +1445,35 @@ class FrameEncoder:
                 if m_idx == idx:
                     break
 
+    def _write_merge_data(self, trial):
+        """merge_data parity (CABACWriter.cpp:1891). subblock_merge_flag
+        absent (affine/SbTMVP off -> MaxNumSubblockMergeCand 0);
+        regular_merge_flag absent (CIIP/GEO off -> inferred 1)."""
+        enc = self.enc
+        mmvd_idx = trial.get("mmvd_idx")
+        if self.cfg.mmvd:
+            enc.encode_bin(0 if mmvd_idx is None else 1,
+                           ctx_ids.MmvdFlag[0])
+        if mmvd_idx is None:
+            self._write_merge_idx(trial["m_idx"])
+            return
+        # mmvd_merge_idx (CABACWriter.cpp:2095)
+        var0 = mmvd_idx // inter.MMVD_MAX_REFINE_NUM
+        rem = mmvd_idx % inter.MMVD_MAX_REFINE_NUM
+        var1, var2 = rem // 4, rem % 4
+        if self.cfg.max_merge_cand > 1:
+            enc.encode_bin(var0, ctx_ids.MmvdMergeIdx[0])
+        # distance: truncated unary, first bin context-coded, max 7
+        if var1 == 0:
+            enc.encode_bin(0, ctx_ids.MmvdStepMvpIdx[0])
+        else:
+            enc.encode_bin(1, ctx_ids.MmvdStepMvpIdx[0])
+            for idx in range(1, inter.MMVD_REFINE_STEP - 1):
+                enc.encode_bin_ep(0 if var1 == idx else 1)
+                if var1 == idx:
+                    break
+        enc.encode_bins_ep(var2, 2)     # direction
+
     def _write_ref_idx(self, lst, ref_idx):
         """ref_idx binarization (CABACWriter.cpp:2162): two context
         bins then EP unary, truncated at NumRefIdxActive - 1."""
@@ -1430,11 +1499,11 @@ class FrameEncoder:
         if trial["is_skip"]:
             self._write_skip_predmode(x, y, w, h, is_intra=False,
                                       skip=True)
-            self._write_merge_idx(trial["m_idx"])
+            self._write_merge_data(trial)
             return
         self._write_skip_predmode(x, y, w, h, is_intra=False)
         enc.encode_bin(1, ctx_ids.MergeFlag[0])
-        self._write_merge_idx(trial["m_idx"])
+        self._write_merge_data(trial)
         # merge -> rootCbf inferred 1; transform_unit
         self._write_inter_tu(trial)
 

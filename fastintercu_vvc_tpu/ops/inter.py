@@ -680,6 +680,59 @@ def get_merge_candidates(mf, hmvp: list[MotionInfo], x: int, y: int,
     return cands[:max_cand]
 
 
+# ---------------------------------------------------------------------
+# MMVD (merge with MVD)
+
+MMVD_REFINE_STEP = 8
+MMVD_MAX_REFINE_NUM = MMVD_REFINE_STEP * 4
+MMVD_BASE_MV_NUM = 2
+MMVD_ADD_NUM = MMVD_MAX_REFINE_NUM * MMVD_BASE_MV_NUM
+# distance table in quarter-pel units (CommonDef.h refMvdCands)
+MMVD_DISTANCES = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def mmvd_motion(bases: list[MotionInfo], cand_idx: int, cur_poc: int,
+                ref_pocs_l0: list[int], ref_pocs_l1: list[int],
+                w: int, h: int, dis_frac: bool = False) -> MotionInfo:
+    """MergeCtx::setMmvdMergeCandiInfo parity
+    (ContextModelling.cpp:380): bases = first two regular merge
+    candidates; cand_idx in [0, 64). Short-term references only
+    (no long-term handling). Applies the small-CU bi-pred
+    restriction (PU::restrictBiPredMergeCandsOne)."""
+    base_idx = cand_idx // MMVD_MAX_REFINE_NUM
+    tmp = cand_idx - base_idx * MMVD_MAX_REFINE_NUM
+    step, pos = tmp // 4, tmp % 4
+    offset = MMVD_DISTANCES[step] << 2          # quarter -> internal
+    if dis_frac:
+        offset <<= 2
+    off = ((offset, 0), (-offset, 0), (0, offset), (0, -offset))[pos]
+    base = bases[base_idx]
+    r0, r1 = base.ref0, base.ref1
+
+    def add_clip(mv, t):
+        return (_clip_storage(mv[0] + t[0]), _clip_storage(mv[1] + t[1]))
+
+    if r0 >= 0 and r1 >= 0:
+        poc0, poc1 = ref_pocs_l0[r0], ref_pocs_l1[r1]
+        t0 = t1 = off
+        if (poc0 - cur_poc) == (poc1 - cur_poc):
+            pass
+        elif abs(poc1 - cur_poc) > abs(poc0 - cur_poc):
+            scale = dist_scale_factor(cur_poc, poc0, cur_poc, poc1)
+            t0 = scale_mv(off, scale)
+        else:
+            scale = dist_scale_factor(cur_poc, poc1, cur_poc, poc0)
+            t1 = scale_mv(off, scale)
+        mi = MotionInfo(3, add_clip(base.mv0, t0), add_clip(base.mv1, t1),
+                        r0, r1)
+        if w + h == 12:                         # bi-pred restriction
+            mi = MotionInfo(1, mi.mv0, (0, 0), r0, -1)
+        return mi
+    if r0 >= 0:
+        return MotionInfo(1, add_clip(base.mv0, off), (0, 0), r0, -1)
+    return MotionInfo(2, (0, 0), add_clip(base.mv1, off), -1, r1)
+
+
 def _round_affine(v: int, shift: int = 1) -> int:
     """roundAffineMv parity (Mv.cpp:47)."""
     offset = 1 << (shift - 1)
