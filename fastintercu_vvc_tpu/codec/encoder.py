@@ -372,6 +372,32 @@ class FrameEncoder:
                                if self.ref_pocs_l1 else None),
                 "check_ldc": check_ldc, "col_from_l0": True,
                 "pic_w": W, "pic_h": H, "ctu_size": cfg.ctu_size}
+        # SMVD symmetric reference pair (EncGOP.cpp:2620 setBiDirPred
+        # derivation): needs sps_smvd, a B slice, !checkLDC,
+        # !mvd_l1_zero; nearest past ref in L0 + nearest future in L1
+        # (or the swapped pair)
+        self.smvd_refs = None
+        if cfg.smvd and slice_type == hls.B_SLICE and self.refs \
+                and self.refs_l1:
+            ldc = all(p <= poc for p in self.ref_pocs + self.ref_pocs_l1)
+            if not ldc:
+                def nearest(pocs, n_act, future):
+                    best = None
+                    for i, p in enumerate(pocs[:n_act]):
+                        if (p > poc) == future and p != poc:
+                            d = abs(p - poc)
+                            if best is None or d < best[0]:
+                                best = (d, i)
+                    return None if best is None else best[1]
+                f0 = nearest(self.ref_pocs, self.n_act0, False)
+                b1 = nearest(self.ref_pocs_l1, self.n_act1, True)
+                if f0 is not None and b1 is not None:
+                    self.smvd_refs = (f0, b1)
+                else:
+                    b0 = nearest(self.ref_pocs, self.n_act0, True)
+                    f1 = nearest(self.ref_pocs_l1, self.n_act1, False)
+                    if b0 is not None and f1 is not None:
+                        self.smvd_refs = (b0, f1)
         self.pc = self._pc(slice_type)
         self.org = org_y.astype(np.int32)
         self.recon = np.zeros((H, W), np.int32)
@@ -520,6 +546,8 @@ class FrameEncoder:
                               ref1=mi2.ref1)
                     if trial.get("mmvd_idx") is not None:
                         ev["mmvd"] = trial["mmvd_idx"]
+                    if "smvd" in trial.get("sig", {}):
+                        ev["smvd"] = 1
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -1305,7 +1333,66 @@ class FrameEncoder:
             trials.append(self._finish_inter_trial(
                 x, y, w, h, blk, mi,
                 {0: (r0[1], r0[2], r0[3]), 1: (r1[1], r1[2], r1[3])}))
+        if self.smvd_refs is not None and not (w == 4 and h == 4):
+            t = self._try_smvd(x, y, w, h, blk, r0)
+            if t is not None:
+                trials.append(t)
         return trials
+
+    def _try_smvd(self, x, y, w, h, blk, r0_l0):
+        """Symmetric-MVD trial (InterSearch symmetric ME, simplified):
+        start from the best L0 MV toward the symmetric L0 reference,
+        refine the shared MVD over a small quarter-pel window with the
+        exact mirrored bi-prediction, over both L1 MVP choices."""
+        sr0, sr1 = self.smvd_refs
+        bd = self.cfg.bit_depth
+        mvps0 = inter.fill_mvp_cands(
+            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, sr0,
+            target_list=0, ref_poc_list1=self.ref_pocs_l1,
+            tmvp=self.tmvp_ctx)
+        mvps1 = inter.fill_mvp_cands(
+            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, sr1,
+            target_list=1, ref_poc_list1=self.ref_pocs_l1,
+            tmvp=self.tmvp_ctx)
+        if r0_l0 is not None and r0_l0[3] == sr0:
+            start_mv = r0_l0[0]
+        else:
+            r = self._me_uni_ref(x, y, w, h, blk, 0, sr0)
+            if r is None:
+                return None
+            start_mv = r[0]
+        ref0 = self.refs[sr0][1]
+        ref1 = self.refs_l1[sr1][1]
+
+        def mvd_from(mvp):
+            return (inter.mv_internal_to_quarter(start_mv[0] - mvp[0]),
+                    inter.mv_internal_to_quarter(start_mv[1] - mvp[1]))
+        mvp_idx0 = int(np.argmin(
+            [abs(mvd_from(p)[0]) + abs(mvd_from(p)[1]) for p in mvps0]))
+        mvp0 = mvps0[mvp_idx0]
+        base_mvd = mvd_from(mvp0)
+        best = None
+        for mvp_idx1 in range(len(mvps1)):
+            mvp1 = mvps1[mvp_idx1]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    mvd = (base_mvd[0] + dx, base_mvd[1] + dy)
+                    mv0 = (mvp0[0] + (mvd[0] << 2),
+                           mvp0[1] + (mvd[1] << 2))
+                    mv1 = (inter._clip_storage(mvp1[0] - (mvd[0] << 2)),
+                           inter._clip_storage(mvp1[1] - (mvd[1] << 2)))
+                    a = inter.mc_luma_intermediate(ref0, x, y, w, h,
+                                                   mv0, bd)
+                    b = inter.mc_luma_intermediate(ref1, x, y, w, h,
+                                                   mv1, bd)
+                    pr = inter.bi_avg(a, b, bd)
+                    sad = int(np.abs(blk - pr).sum())
+                    if best is None or sad < best[0]:
+                        best = (sad, mvd, mv0, mv1, mvp_idx1)
+        _, mvd, mv0, mv1, mvp_idx1 = best
+        mi = inter.MotionInfo(3, mv0, mv1, sr0, sr1)
+        return self._finish_inter_trial(
+            x, y, w, h, blk, mi, {"smvd": (mvp_idx0, mvd, mvp_idx1)})
 
     def _try_mmvd(self, x, y, w, h, blk, merge_cands, seen,
                   num_full_rd: int = 2):
@@ -1537,12 +1624,24 @@ class FrameEncoder:
                 enc.encode_bin(0, ctx_ids.InterDir[0] + ctx_id)
                 enc.encode_bin(1 if mi.inter_dir == 2 else 0,
                                ctx_ids.InterDir[0] + 5)
-        if mi.inter_dir != 2:
+        # smvd_mode (CABACWriter.cpp:1836): bi CUs in a slice with a
+        # symmetric reference pair
+        is_smvd = "smvd" in sig
+        if self.smvd_refs is not None and mi.inter_dir == 3:
+            enc.encode_bin(1 if is_smvd else 0, ctx_ids.SmvdFlag[0])
+        if is_smvd:
+            mvp_idx0, mvd, mvp_idx1 = sig["smvd"]
+            # ref_idx: inferred from slice symRefIdx (no bins)
+            write_mvd(enc, mvd)
+            enc.encode_bin(mvp_idx0, ctx_ids.MVPIdx[0])
+            # L1: no ref_idx, mvd mirrored (not signalled)
+            enc.encode_bin(mvp_idx1, ctx_ids.MVPIdx[0])
+        if not is_smvd and mi.inter_dir != 2:
             mvp_idx, mvd, ridx = sig[0]
             self._write_ref_idx(0, ridx)
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
-        if mi.inter_dir != 1:
+        if not is_smvd and mi.inter_dir != 1:
             mvp_idx, mvd, ridx = sig[1]
             self._write_ref_idx(1, ridx)
             write_mvd(enc, mvd)
