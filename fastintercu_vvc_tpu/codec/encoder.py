@@ -186,6 +186,7 @@ class _Maps:
         self.cbf_y = np.zeros(shp, bool)
         self.cbf_cb = np.zeros(shp, bool)
         self.cbf_cr = np.zeros(shp, bool)
+        self.bcw = np.full(shp, inter.BCW_DEFAULT, np.int8)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -200,6 +201,7 @@ class _Maps:
         self.ref0[sl] = -1
         self.ref_poc[sl] = -1
         self.skip[sl] = False
+        self.bcw[sl] = inter.BCW_DEFAULT
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
@@ -220,13 +222,15 @@ class _Maps:
         self.mv1[sl] = mi.mv1
         self.ref1[sl] = mi.ref1
         self.ref_poc1[sl] = ref_poc1
+        self.bcw[sl] = mi.bcw if mi.inter_dir == 3 else inter.BCW_DEFAULT
         self.skip[sl] = skip
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
-               "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr")
+               "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
+               "bcw")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -275,7 +279,9 @@ class _Maps:
             int(self.inter_dir[p]),
             (int(self.mv0[p][0]), int(self.mv0[p][1])),
             (int(self.mv1[p][0]), int(self.mv1[p][1])),
-            int(self.ref0[p]), int(self.ref1[p]))
+            int(self.ref0[p]), int(self.ref1[p]),
+            bcw=int(self.bcw[p]) if self.inter_dir[p] == 3
+            else inter.BCW_DEFAULT)
 
     def get(self, x, y):
         return self.motion(x, y)
@@ -358,6 +364,8 @@ class FrameEncoder:
         self.n_act0 = min(len(self.refs), active_l0 or 1)
         self.n_act1 = min(len(self.refs_l1), active_l1 or 1)
         self.poc = poc
+        self.check_ldc = all(p <= poc for p in
+                             self.ref_pocs + self.ref_pocs_l1)
         # TMVP context: collocated picture = L0 ref 0 (we signal
         # sh_collocated_from_l0_flag = 1 for B; inferred for P)
         self.tmvp_ctx = None
@@ -548,6 +556,8 @@ class FrameEncoder:
                         ev["mmvd"] = trial["mmvd_idx"]
                     if "smvd" in trial.get("sig", {}):
                         ev["smvd"] = 1
+                    if mi2.bcw != inter.BCW_DEFAULT:
+                        ev["bcw"] = mi2.bcw
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -881,7 +891,7 @@ class FrameEncoder:
                                        mi.mv0, bd)
         b = inter.mc_luma_intermediate(self.refs_l1[mi.ref1][1], x, y,
                                        w, h, mi.mv1, bd)
-        return inter.bi_avg(a, b, bd)
+        return inter.bcw_avg(a, b, mi.bcw, bd)
 
     def _motion_pred_chroma(self, xc, yc, wc, hc, mi, plane_idx):
         bd = self.cfg.bit_depth
@@ -896,7 +906,7 @@ class FrameEncoder:
         b = inter.mc_chroma_intermediate(
             self.refs_l1[mi.ref1][2 + plane_idx], xc, yc, wc, hc,
             mi.mv1, bd)
-        return inter.bi_avg(a, b, bd)
+        return inter.bcw_avg(a, b, mi.bcw, bd)
 
     def _chroma_inter(self, x, y, w, h, mi):
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
@@ -1333,11 +1343,63 @@ class FrameEncoder:
             trials.append(self._finish_inter_trial(
                 x, y, w, h, blk, mi,
                 {0: (r0[1], r0[2], r0[3]), 1: (r1[1], r1[2], r1[3])}))
+            if self._bcw_coded(w, h):
+                bw = self._best_bcw_weight(x, y, w, h, blk, mi)
+                if bw != inter.BCW_DEFAULT:
+                    mi_w = dataclasses.replace(mi, bcw=bw)
+                    trials.append(self._finish_inter_trial(
+                        x, y, w, h, blk, mi_w,
+                        {0: (r0[1], r0[2], r0[3]),
+                         1: (r1[1], r1[2], r1[3])}))
         if self.smvd_refs is not None and not (w == 4 and h == 4):
             t = self._try_smvd(x, y, w, h, blk, r0)
             if t is not None:
                 trials.append(t)
         return trials
+
+    def _bcw_coded(self, w, h):
+        """CU::isBcwIdxCoded parity (UnitTools.cpp:3665) for non-merge
+        bi CUs: sps bcw, B slice, area >= 256, no weighted pred."""
+        return (self.cfg.bcw and self.slice_type == hls.B_SLICE
+                and w * h >= 256)
+
+    def _best_bcw_weight(self, x, y, w, h, blk, mi):
+        """Pick the BCW weight minimizing luma SAD on the fixed bi MV
+        pair (g_BcwSearchOrder subset; VTM re-runs ME per weight —
+        EncCu loops, InterSearch.cpp — we reuse the searched MVs)."""
+        bd = self.cfg.bit_depth
+        a = inter.mc_luma_intermediate(self.refs[mi.ref0][1], x, y, w, h,
+                                       mi.mv0, bd)
+        b = inter.mc_luma_intermediate(self.refs_l1[mi.ref1][1], x, y,
+                                       w, h, mi.mv1, bd)
+        num_bcw = 5 if self.check_ldc else 3
+        best = None
+        for widx in range(inter.BCW_NUM):
+            if inter.BCW_CODING_ORDER[widx] >= num_bcw:
+                continue
+            pr = inter.bcw_avg(a, b, widx, bd)
+            sad = int(np.abs(blk - pr).sum())
+            # small bit penalty so default wins ties
+            cost = sad + (0 if widx == inter.BCW_DEFAULT
+                          else int(self.lam * 2))
+            if best is None or cost < best[0]:
+                best = (cost, widx)
+        return best[1]
+
+    def _write_bcw_idx(self, w, h, mi):
+        """cu_bcw_flag parity (CABACWriter.cpp:877)."""
+        if not (self._bcw_coded(w, h) and mi.inter_dir == 3):
+            return
+        enc = self.enc
+        coding_idx = inter.BCW_CODING_ORDER[mi.bcw]
+        num_bcw = 5 if self.check_ldc else 3
+        enc.encode_bin(0 if coding_idx == 0 else 1, ctx_ids.BcwIdx[0])
+        if num_bcw > 2 and coding_idx != 0:
+            for idx in range(1, num_bcw - 1):
+                if coding_idx == idx:
+                    enc.encode_bin_ep(0)
+                    break
+                enc.encode_bin_ep(1)
 
     def _try_smvd(self, x, y, w, h, blk, r0_l0):
         """Symmetric-MVD trial (InterSearch symmetric ME, simplified):
@@ -1646,6 +1708,8 @@ class FrameEncoder:
             self._write_ref_idx(1, ridx)
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
+        # imv_mode: amvr off -> nothing; then cu_bcw_flag
+        self._write_bcw_idx(w, h, mi)
         root_cbf = any(
             t["cbf"] or (t["chroma"] is not None
                          and (t["chroma"][0][2] or t["chroma"][1][2]))

@@ -225,16 +225,51 @@ def bi_avg(a: np.ndarray, b: np.ndarray, bit_depth: int = 10) -> np.ndarray:
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
+def bcw_avg(a: np.ndarray, b: np.ndarray, bcw_idx: int,
+            bit_depth: int = 10) -> np.ndarray:
+    """PelBuf::addWeightedAvg parity (Buffer.cpp:350): BCW weighted
+    average of two intermediate-domain preds; w1 = g_BcwWeights[idx],
+    w0 = 8 - w1, shift = IF_INTERNAL_FRAC_BITS + 3."""
+    if bcw_idx == BCW_DEFAULT:
+        return bi_avg(a, b, bit_depth)
+    w1 = BCW_WEIGHTS[bcw_idx]
+    w0 = 8 - w1
+    shift_num = (IF_INTERNAL_PREC - bit_depth) + 3
+    offset = (1 << (shift_num - 1)) + (IF_INTERNAL_OFFS << 3)
+    out = (a.astype(np.int64) * w0 + b.astype(np.int64) * w1
+           + offset) >> shift_num
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Motion info maps + AMVP + HMVP
 
-@dataclasses.dataclass(frozen=True)
+BCW_NUM = 5
+BCW_DEFAULT = BCW_NUM >> 1          # idx 2 -> w = 4/8
+BCW_WEIGHTS = (-2, 3, 4, 5, 10)     # g_BcwWeights (Rom.cpp:205)
+# coding order {default, -2, +2, -1, +1} -> bcwIdx -> codingIdx
+BCW_CODING_ORDER = (4, 2, 0, 1, 3)  # resetBcwCodingOrder (Rom.cpp:217)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class MotionInfo:
     inter_dir: int = 0             # 0 none, 1 L0, 2 L1, 3 BI
     mv0: tuple[int, int] = (0, 0)  # internal 1/16
     mv1: tuple[int, int] = (0, 0)
     ref0: int = -1
     ref1: int = -1
+    bcw: int = BCW_DEFAULT         # CU bi-prediction weight index
+
+    def __eq__(self, other):
+        """MotionInfo::operator== parity (MotionInfo.h:116): motion
+        only — BcwIdx is NOT compared (merge/HMVP pruning ignores it)."""
+        if not isinstance(other, MotionInfo):
+            return NotImplemented
+        return (self.inter_dir == other.inter_dir
+                and self.mv0 == other.mv0 and self.mv1 == other.mv1
+                and self.ref0 == other.ref0 and self.ref1 == other.ref1)
+
+    __hash__ = None
 
 
 class MotionField:
@@ -724,7 +759,7 @@ def mmvd_motion(bases: list[MotionInfo], cand_idx: int, cur_poc: int,
             scale = dist_scale_factor(cur_poc, poc1, cur_poc, poc0)
             t1 = scale_mv(off, scale)
         mi = MotionInfo(3, add_clip(base.mv0, t0), add_clip(base.mv1, t1),
-                        r0, r1)
+                        r0, r1, bcw=base.bcw)
         if w + h == 12:                         # bi-pred restriction
             mi = MotionInfo(1, mi.mv0, (0, 0), r0, -1)
         return mi
