@@ -558,6 +558,8 @@ class FrameEncoder:
                         ev["smvd"] = 1
                     if mi2.bcw != inter.BCW_DEFAULT:
                         ev["bcw"] = mi2.bcw
+                    if trial.get("imv"):
+                        ev["imv"] = trial["imv"]
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -1226,7 +1228,7 @@ class FrameEncoder:
             r = self._me_uni_ref(x, y, w, h, blk, lst, ridx)
             if r is not None and (best is None or r[4] < best[4]):
                 best = r
-        return None if best is None else best[:4]
+        return best
 
     def _me_uni_ref(self, x, y, w, h, blk, lst, ridx):
         refs = self.refs if lst == 0 else self.refs_l1
@@ -1297,7 +1299,7 @@ class FrameEncoder:
         if (mvps[mvp_idx][0] + (mvd[0] << 2),
                 mvps[mvp_idx][1] + (mvd[1] << 2)) != mv:
             return None
-        return mv, mvp_idx, mvd, ridx, best_cost
+        return mv, mvp_idx, mvd, ridx, best_cost, best_int
 
     def _inter_trial_tus(self, x, y, w, h, mi):
         """Motion-compensated prediction + per-TU transform/quant.
@@ -1355,7 +1357,51 @@ class FrameEncoder:
             t = self._try_smvd(x, y, w, h, blk, r0)
             if t is not None:
                 trials.append(t)
+        if self.cfg.amvr:
+            for r, lst in ((r0, 0), (r1, 1)):
+                if r is None:
+                    continue
+                for imv in (1, 2):
+                    t = self._imv_trial(x, y, w, h, blk, lst, r[3],
+                                        r[5], imv)
+                    if t is not None:
+                        trials.append(t)
         return trials
+
+    def _imv_trial(self, x, y, w, h, blk, lst, ridx, best_int, imv):
+        """AMVR trial at integer (imv=1) or 4-pel (imv=2) precision:
+        MVP candidates re-rounded to the imv grid (fillMvpCand with
+        cu.imv), MVD in imv signalling units. Zero-MVD trials are
+        dropped (imv would be inferred 0 and the MVP grid would
+        mismatch)."""
+        mvps = inter.fill_mvp_cands(
+            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, ridx,
+            target_list=lst, ref_poc_list1=self.ref_pocs_l1,
+            tmvp=self.tmvp_ctx, imv=imv)
+        shift = inter.AMVR_SHIFT[imv]
+        mv = (best_int[0] << 4, best_int[1] << 4)
+        if imv == 2:
+            mv = (inter.mv_round_to_amvr(mv[0], 2),
+                  inter.mv_round_to_amvr(mv[1], 2))
+
+        def mvd_of(p):
+            return ((mv[0] - p[0]) >> shift, (mv[1] - p[1]) >> shift)
+        costs = [abs(mvd_of(p)[0]) + abs(mvd_of(p)[1]) for p in mvps]
+        mvp_idx = int(np.argmin(costs))
+        mvd = mvd_of(mvps[mvp_idx])
+        if mvd == (0, 0):
+            return None
+        if (mvps[mvp_idx][0] + (mvd[0] << shift),
+                mvps[mvp_idx][1] + (mvd[1] << shift)) != mv:
+            return None
+        if lst == 0:
+            mi = inter.MotionInfo(1, mv, (0, 0), ridx, -1)
+        else:
+            mi = inter.MotionInfo(2, (0, 0), mv, -1, ridx)
+        trial = self._finish_inter_trial(x, y, w, h, blk, mi,
+                                         {lst: (mvp_idx, mvd, ridx)})
+        trial["imv"] = imv
+        return trial
 
     def _bcw_coded(self, w, h):
         """CU::isBcwIdxCoded parity (UnitTools.cpp:3665) for non-merge
@@ -1708,7 +1754,21 @@ class FrameEncoder:
             self._write_ref_idx(1, ridx)
             write_mvd(enc, mvd)
             enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
-        # imv_mode: amvr off -> nothing; then cu_bcw_flag
+        # imv_mode (CABACWriter.cpp:1940): signalled only with a
+        # non-zero MVD; we never select half-pel (alt-IF) precision
+        if self.cfg.amvr:
+            if is_smvd:
+                nonzero = sig["smvd"][1] != (0, 0)
+            else:
+                nonzero = any(sig[lst][1] != (0, 0)
+                              for lst in (0, 1) if lst in sig)
+            if nonzero:
+                imv = trial.get("imv", 0)
+                enc.encode_bin(1 if imv > 0 else 0, ctx_ids.ImvFlag[0])
+                if imv > 0:
+                    enc.encode_bin(1, ctx_ids.ImvFlag[0] + 4)  # !hpel
+                    enc.encode_bin(1 if imv > 1 else 0,
+                                   ctx_ids.ImvFlag[0] + 1)
         self._write_bcw_idx(w, h, mi)
         root_cbf = any(
             t["cbf"] or (t["chroma"] is not None

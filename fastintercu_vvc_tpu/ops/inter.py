@@ -71,6 +71,24 @@ def mv_quarter_to_internal(v: int) -> int:
     return v << 2
 
 
+# AMVR: internal-precision shift per imv mode (Mv.h
+# changeTransPrecInternal2Amvr): 0=quarter, 1=integer, 2=four-pel,
+# 3=half-pel
+AMVR_SHIFT = (2, 4, 6, 3)
+
+
+def mv_round_to_amvr(v: int, imv: int) -> int:
+    """roundTransPrecInternal2Amvr: round an internal MV component to
+    the imv grid (still internal precision)."""
+    s = AMVR_SHIFT[imv]
+    return _div_pow2(v, s) << s
+
+
+def mv_internal_to_amvr(v: int, imv: int) -> int:
+    """changeTransPrecInternal2Amvr: internal -> signalling units."""
+    return _div_pow2(v, AMVR_SHIFT[imv])
+
+
 def _div_pow2(v: int, i: int) -> int:
     """Mv::divideByPowerOf2 rounding."""
     if i == 0:
@@ -475,8 +493,8 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
                    x: int, y: int, w: int, h: int,
                    ref_poc_list0: list[int], ref_idx: int,
                    tmvp: bool = False, target_list: int = 0,
-                   ref_poc_list1: list[int] | None = None
-                   ) -> list[tuple[int, int]]:
+                   ref_poc_list1: list[int] | None = None,
+                   imv: int = 0) -> list[tuple[int, int]]:
     """PU::fillMvpCand parity (imv=0), either list. tmvp: optional
     TMVP context dict (see tmvp_merge_cand) enabling the temporal
     AMVP candidate (UnitTools.cpp:1867).
@@ -515,7 +533,7 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
         if not try_pos(rtx, rty - 1):
             try_pos(x - 1, y - 1)
 
-    cands = [(mv_round_to_quarter(mx), mv_round_to_quarter(my))
+    cands = [(mv_round_to_amvr(mx, imv), mv_round_to_amvr(my, imv))
              for mx, my in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands = cands[:1]
@@ -530,8 +548,8 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
                                   curr_ref_poc, tmvp["check_ldc"],
                                   tmvp["col_from_l0"])
             if mv is not None:
-                cands.append((mv_round_to_quarter(mv[0]),
-                              mv_round_to_quarter(mv[1])))
+                cands.append((mv_round_to_amvr(mv[0], imv),
+                              mv_round_to_amvr(mv[1], imv)))
                 break
 
     n_allowed = min(MAX_NUM_HMVP_AMVP_CANDS, len(hmvp))
@@ -547,8 +565,8 @@ def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
             r, mv = mi_ref_mv(mi, lst)
             if r >= 0 and r < len(pocs[lst]) \
                     and curr_ref_poc == pocs[lst][r]:
-                cands.append((mv_round_to_quarter(mv[0]),
-                              mv_round_to_quarter(mv[1])))
+                cands.append((mv_round_to_amvr(mv[0], imv),
+                              mv_round_to_amvr(mv[1], imv)))
 
     while len(cands) < AMVP_MAX_NUM_CANDS:
         cands.append((0, 0))
