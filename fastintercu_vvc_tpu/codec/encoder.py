@@ -187,6 +187,7 @@ class _Maps:
         self.cbf_cb = np.zeros(shp, bool)
         self.cbf_cr = np.zeros(shp, bool)
         self.bcw = np.full(shp, inter.BCW_DEFAULT, np.int8)
+        self.ciip = np.zeros(shp, bool)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -202,12 +203,13 @@ class _Maps:
         self.ref_poc[sl] = -1
         self.skip[sl] = False
         self.bcw[sl] = inter.BCW_DEFAULT
+        self.ciip[sl] = False
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
                       cbfs=(False, False, False), ref_poc0=-1,
-                      ref_poc1=-1):
+                      ref_poc1=-1, ciip=False):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
@@ -223,6 +225,7 @@ class _Maps:
         self.ref1[sl] = mi.ref1
         self.ref_poc1[sl] = ref_poc1
         self.bcw[sl] = mi.bcw if mi.inter_dir == 3 else inter.BCW_DEFAULT
+        self.ciip[sl] = ciip
         self.skip[sl] = skip
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.coded[sl] = True
@@ -230,7 +233,7 @@ class _Maps:
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
-               "bcw")
+               "bcw", "ciip")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -462,7 +465,7 @@ class FrameEncoder:
             m = self.maps
             info = deblock.DeblockInfo(
                 m.cu_x0, m.cu_y0, m.cu_w, m.cu_h,
-                m.mode >= 0, m.cbf_y, m.cbf_cb, m.cbf_cr,
+                (m.mode >= 0) | m.ciip, m.cbf_y, m.cbf_cb, m.cbf_cr,
                 m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
                 slice_is_b=self.slice_type == hls.B_SLICE)
             qp_c_for_db = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
@@ -560,6 +563,8 @@ class FrameEncoder:
                         ev["bcw"] = mi2.bcw
                     if trial.get("imv"):
                         ev["imv"] = trial["imv"]
+                    if trial.get("ciip"):
+                        ev["ciip"] = 1
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -968,7 +973,8 @@ class FrameEncoder:
         self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi,
                                 skip=trial.get("is_skip", False),
                                 cbfs=self._trial_cbfs(trial),
-                                ref_poc0=rp0, ref_poc1=rp1)
+                                ref_poc0=rp0, ref_poc1=rp1,
+                                ciip=trial.get("ciip", False))
         self._mark_tu_cbfs(trial)
         self.cu_log[(x, y)] = (
             "merge" if "m_idx" in trial else "inter", trial)
@@ -1046,6 +1052,21 @@ class FrameEncoder:
                     self._write_leaf_merge(x, y, w, h, trial)
                     consider("merge", trial)
 
+            if self._ciip_allowed(w, h):
+                tested = set()
+                for m_idx, mi in enumerate(merge_cands[:2]):
+                    key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1,
+                           mi.ref1)
+                    if key in tested or mi.ref0 >= len(self.refs) or \
+                            (mi.inter_dir & 2
+                             and mi.ref1 >= len(self.refs_l1)):
+                        continue
+                    tested.add(key)
+                    trial = self._eval_ciip(x, y, w, h, blk, mi, m_idx)
+                    if trial is not None:
+                        self._write_leaf_merge(x, y, w, h, trial)
+                        consider("merge", trial)
+
         cost, kind, trial, end_state = best
         _EncState.restore(enc, end_state)
         if kind == "intra":
@@ -1058,7 +1079,8 @@ class FrameEncoder:
             self.maps.mark_inter_cu(x, y, w, h, qt_depth, mi,
                                     skip=trial.get("is_skip", False),
                                     cbfs=self._trial_cbfs(trial),
-                                    ref_poc0=rp0, ref_poc1=rp1)
+                                    ref_poc0=rp0, ref_poc1=rp1,
+                                    ciip=trial.get("ciip", False))
             self._mark_tu_cbfs(trial)
             self.cu_log[(x, y)] = (
                 "merge" if "m_idx" in trial else "inter", trial)
@@ -1534,6 +1556,66 @@ class FrameEncoder:
             out.append(trial)
         return out
 
+    def _ciip_allowed(self, w, h):
+        """ciipAvailable gate (CABACWriter.cpp:1904): non-skip handled
+        by the trial itself; size limits 64 <= w*h, w,h < 128."""
+        return (self.cfg.ciip and w < 128 and h < 128 and w * h >= 64)
+
+    def _eval_ciip(self, x, y, w, h, blk, mi, m_idx):
+        """CIIP trial: planar intra blended with the merge prediction
+        ((wMerge*inter + wIntra*intra + 2) >> 2, all components;
+        IntraPrediction::geneWeightedPred). Returns None when the
+        residual is entirely zero (cu_cbf is inferred 1 for merge CUs,
+        so an all-zero CIIP CU is not representable)."""
+        bd = self.cfg.bit_depth
+        left_i = self.maps.is_intra(x - 1, y + h - 1)
+        above_i = self.maps.is_intra(x + w - 1, y - 1)
+        if left_i and above_i:
+            w_intra = 3
+        elif left_i or above_i:
+            w_intra = 2
+        else:
+            w_intra = 1
+        w_merge = 4 - w_intra
+
+        inter_p = self._motion_pred_luma(x, y, w, h, mi)
+        top, left = intra.build_refs_grid(self.recon, x, y, w, h, bd,
+                                          self.maps.coded)
+        intra_p = intra.predict(0, top, left, w, h, bd)
+        pred = (w_merge * inter_p.astype(np.int64)
+                + w_intra * intra_p.astype(np.int64) + 2) >> 2
+        q, recon, cbf = self._tq(blk, pred.astype(np.int32), self.qp_eff)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
+              "recon": recon, "chroma": None}
+        if self.chroma:
+            xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+            outs = []
+            for pi, (plane_o, plane_r) in enumerate(
+                    ((self.org_cb, self.recon_cb),
+                     (self.org_cr, self.recon_cr))):
+                ip = self._motion_pred_chroma(xc, yc, wc, hc, mi, pi)
+                ctop, cleft = intra.build_refs_grid(
+                    plane_r, xc, yc, wc, hc, bd, self.maps.coded, sub=2)
+                ap = intra.predict(0, ctop, cleft, wc, hc, bd,
+                                   chroma=True)
+                cpred = (w_merge * ip.astype(np.int64)
+                         + w_intra * ap.astype(np.int64) + 2) >> 2
+                cq, crec, ccbf = self._tq(plane_o[yc:yc + hc, xc:xc + wc],
+                                          cpred.astype(np.int32),
+                                          self.qp_c_eff)
+                cssd = float(((plane_o[yc:yc + hc, xc:xc + wc] - crec)
+                              .astype(np.int64) ** 2).sum())
+                outs.append((cq, crec, ccbf, cssd))
+            tu["chroma"] = outs
+            ssd += outs[0][3] + outs[1][3]
+        any_cbf = cbf or (tu["chroma"] is not None
+                          and (tu["chroma"][0][2] or tu["chroma"][1][2]))
+        if not any_cbf:
+            return None
+        return {"mi": mi, "m_idx": m_idx, "tus": [tu], "ssd": ssd,
+                "is_skip": False, "ciip": True}
+
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
         tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
         trial = {"mi": mi, "m_idx": m_idx, "tus": tus, "ssd": ssd}
@@ -1640,12 +1722,27 @@ class FrameEncoder:
                 if m_idx == idx:
                     break
 
-    def _write_merge_data(self, trial):
+    def _write_merge_data(self, trial, w, h):
         """merge_data parity (CABACWriter.cpp:1891). subblock_merge_flag
         absent (affine/SbTMVP off -> MaxNumSubblockMergeCand 0);
-        regular_merge_flag absent (CIIP/GEO off -> inferred 1)."""
+        regular_merge_flag signalled iff CIIP or GEO is available for
+        this CU."""
         enc = self.enc
         mmvd_idx = trial.get("mmvd_idx")
+        is_ciip = trial.get("ciip", False)
+        ciip_avail = (self._ciip_allowed(w, h)
+                      and not trial.get("is_skip", False))
+        geo_avail = False                     # GEO not yet implemented
+        if ciip_avail or geo_avail:
+            # ctx RegularMergeFlag(skip ? 0 : 1); ciip_avail implies
+            # non-skip here
+            enc.encode_bin(0 if is_ciip else 1,
+                           ctx_ids.RegularMergeFlag[0] + 1)
+        if is_ciip:
+            # Ciip_flag written only when GEO is also available;
+            # inferred 1 otherwise. merge_idx follows.
+            self._write_merge_idx(trial["m_idx"])
+            return
         if self.cfg.mmvd:
             enc.encode_bin(0 if mmvd_idx is None else 1,
                            ctx_ids.MmvdFlag[0])
@@ -1694,11 +1791,11 @@ class FrameEncoder:
         if trial["is_skip"]:
             self._write_skip_predmode(x, y, w, h, is_intra=False,
                                       skip=True)
-            self._write_merge_data(trial)
+            self._write_merge_data(trial, w, h)
             return
         self._write_skip_predmode(x, y, w, h, is_intra=False)
         enc.encode_bin(1, ctx_ids.MergeFlag[0])
-        self._write_merge_data(trial)
+        self._write_merge_data(trial, w, h)
         # merge -> rootCbf inferred 1; transform_unit
         self._write_inter_tu(trial)
 
