@@ -80,13 +80,20 @@ def write_trunc_bin(enc, symbol: int, max_symbol: int):
         enc.encode_bins_ep(symbol, thresh + 1)
 
 
-def write_intra_luma_mode(enc, mode: int, mpm: list[int]):
-    """intra_luma_pred_modes parity (no MIP/MRL/ISP)."""
+def write_intra_luma_mode(enc, mode: int, mpm: list[int], mrl: int = 0):
+    """intra_luma_pred_modes parity (no MIP/ISP). mrl > 0: MPM-only,
+    planar excluded -> mpm flag and planar bin skipped
+    (CABACWriter.cpp intra_luma_pred_modes)."""
     mpm_idx = mpm.index(mode) if mode in mpm else 6
-    enc.encode_bin(1 if mpm_idx < 6 else 0, ctx_ids.IntraLumaMpmFlag[0])
+    if mrl:
+        assert 0 < mpm_idx < 6, "MRL mode must be a non-planar MPM"
+    else:
+        enc.encode_bin(1 if mpm_idx < 6 else 0,
+                       ctx_ids.IntraLumaMpmFlag[0])
     if mpm_idx < 6:
-        enc.encode_bin(1 if mpm_idx > 0 else 0,
-                       ctx_ids.IntraLumaPlanarFlag[0] + 1)
+        if mrl == 0:
+            enc.encode_bin(1 if mpm_idx > 0 else 0,
+                           ctx_ids.IntraLumaPlanarFlag[0] + 1)
         if mpm_idx:
             enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
         if mpm_idx > 1:
@@ -548,6 +555,8 @@ class FrameEncoder:
                 if kind == "intra":
                     ev.update(kind="intra", mode=trial["mode"],
                               mts=trial.get("mts_idx", 0))
+                    if trial.get("mrl"):
+                        ev["mrl"] = trial["mrl"]
                 else:
                     mi2 = trial["mi"]
                     ev.update(kind=kind,
@@ -1024,6 +1033,30 @@ class FrameEncoder:
             self._write_leaf_intra(x, y, w, h, trial)
             consider("intra", trial)
 
+        # MRL: for each extra reference line, full-RD the best
+        # non-planar MPM mode by prediction SAD (EncIntra MRL loop)
+        if self.cfg.mrl and (y % self.cfg.ctu_size) != 0 \
+                and w <= 64 and h <= 64:
+            for k in (1, 2):
+                tk, lk = intra.build_refs_grid(
+                    self.recon, x, y, w, h, self.cfg.bit_depth,
+                    self.maps.coded, mrl=k)
+                best_m, best_sad, best_pred = None, None, None
+                for m in mpm[1:]:
+                    if m == intra.PLANAR_IDX:
+                        continue
+                    pk = intra.predict(m, tk, lk, w, h,
+                                       self.cfg.bit_depth, mrl=k)
+                    sad = int(np.abs(blk - pk).sum())
+                    if best_sad is None or sad < best_sad:
+                        best_m, best_sad, best_pred = m, sad, pk
+                if best_m is None:
+                    continue
+                trial = self._eval_intra_mode(x, y, w, h, blk, best_m,
+                                              pred=best_pred, mrl=k)
+                self._write_leaf_intra(x, y, w, h, trial)
+                consider("intra", trial)
+
         # ----- inter options (P/B slice, not 4x4) -----
         if is_inter_slice and not (w == 4 and h == 4) and self.refs:
             for it in self._try_inter_amvp(x, y, w, h, blk):
@@ -1144,16 +1177,17 @@ class FrameEncoder:
         return (self.cfg.mts_intra and w <= 32 and h <= 32)
 
     # ------------------------------------------------------------------
-    def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None):
+    def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None,
+                         mrl=0):
         tiles = _tu_tiles(w, h)
         if len(tiles) > 1:
             return self._eval_intra_multi_tu(x, y, w, h, mode, tiles)
         if pred is None:
             top, left = intra.build_refs_grid(self.recon, x, y, w, h,
                                               self.cfg.bit_depth,
-                                              self.maps.coded)
+                                              self.maps.coded, mrl=mrl)
             pred = intra.predict(mode, top, left, w, h,
-                                 self.cfg.bit_depth)
+                                 self.cfg.bit_depth, mrl=mrl)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
         mts_idx = 0
         if self._mts_allowed(w, h) and cbf:
@@ -1185,7 +1219,7 @@ class FrameEncoder:
             tu["chroma"] = ch
             ssd += ch[0][3] + ch[1][3]
         return {"mode": mode, "tus": [tu], "ssd": ssd,
-                "mts_idx": mts_idx}
+                "mts_idx": mts_idx, "mrl": mrl}
 
     def _coeff_cost_proxy(self, blk, recon, q):
         """SSD + lambda * rough level-bit estimate (mode selection
@@ -1669,8 +1703,17 @@ class FrameEncoder:
         enc = self.enc
         if self.slice_type != hls.I_SLICE:
             self._write_skip_predmode(x, y, w, h, is_intra=True)
+        mrl = trial.get("mrl", 0)
+        # extend_ref_line (CABACWriter.cpp): two ctx bins, skipped on
+        # the first CTU row
+        if self.cfg.mrl and (y % self.cfg.ctu_size) != 0:
+            enc.encode_bin(1 if mrl > 0 else 0,
+                           ctx_ids.MultiRefLineIdx[0])
+            if mrl > 0:
+                enc.encode_bin(1 if mrl > 1 else 0,
+                               ctx_ids.MultiRefLineIdx[0] + 1)
         mpm = self._mpms(x, y, w, h)
-        write_intra_luma_mode(enc, trial["mode"], mpm)
+        write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl)
         if self.chroma:
             # intra_chroma_pred_mode: DM -> single 0 bin (cclm off)
             enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])

@@ -79,13 +79,16 @@ def is_integer_slope(abs_ang: int) -> bool:
     return (abs_ang & 31) == 0
 
 
-def pred_params(mode: int, w: int, h: int):
-    """initPredIntraParams parity for luma, refIdx 0, no ISP/MIP/BDPCM.
+def pred_params(mode: int, w: int, h: int, mrl: int = 0):
+    """initPredIntraParams parity for luma, no ISP/MIP/BDPCM; mrl =
+    multiRefIdx (reference smoothing/MDIS and PDPC disabled for
+    mrl > 0, IntraPrediction.cpp:374,408-414).
 
-    -> dict(refFilter, interpFilter, applyPDPC, angularScale, predMode)
+    -> dict(refFilter, interpFilter, applyPDPC, angularScale, predMode,
+    mrl)
     """
     pred_mode = modified_wide_angle(w, h, mode)
-    apply_pdpc = w >= 4 and h >= 4
+    apply_pdpc = w >= 4 and h >= 4 and mrl == 0
     ref_filter = False
     interp_filter = False
     angular_scale = 0
@@ -100,7 +103,7 @@ def pred_params(mode: int, w: int, h: int):
                 2, (side.bit_length() - 1)
                 - (((3 * inv_ang - 2).bit_length() - 1) - 8))
             apply_pdpc = apply_pdpc and angular_scale >= 0
-        if mode != DC_IDX:
+        if mode != DC_IDX and mrl == 0:
             diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
             log2_size = (((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1)
             if diff > INTRA_FILTER_THRES[log2_size]:
@@ -109,10 +112,10 @@ def pred_params(mode: int, w: int, h: int):
                 else:
                     interp_filter = True
     elif mode == PLANAR_IDX:
-        ref_filter = w * h > 32
+        ref_filter = w * h > 32 and mrl == 0
     return dict(refFilter=ref_filter, interpFilter=interp_filter,
                 applyPDPC=apply_pdpc, angularScale=angular_scale,
-                predMode=pred_mode)
+                predMode=pred_mode, mrl=mrl)
 
 
 def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
@@ -175,11 +178,18 @@ def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
 
 
 def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
-                    bit_depth: int, coded: np.ndarray, sub: int = 1):
+                    bit_depth: int, coded: np.ndarray, sub: int = 1,
+                    mrl: int = 0):
     """Vectorized build_refs against a per-4x4-luma-unit coded grid
     (the encoder maps). sub=2 for chroma planes (availability is read
     at luma resolution). Bit-identical to build_refs with the encoder
-    availability mask."""
+    availability mask.
+
+    mrl > 0: line-k references (xFillReferenceSamples with
+    multiRefIdx, IntraPrediction.cpp:991-1019) — top/left grow by k,
+    samples come from row y-1-k / column x-1-k, the k corner-region
+    samples share the corner unit's availability, and availability is
+    always judged at the line-0 adjacent units."""
     H, W = recon.shape
     gh, gw = coded.shape
 
@@ -193,19 +203,28 @@ def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
         np.copyto(out, coded[gyi, gxi], where=ok)
         return out
 
-    tposx = x - 1 + np.arange(2 * w + 1)
-    lposy = y - 1 + np.arange(2 * h + 1)
-    top_avail = avail(tposx, np.full_like(tposx, y - 1))
-    left_avail = avail(np.full_like(lposy, x - 1), lposy)
+    nt = 2 * w + 1 + mrl
+    nl = 2 * h + 1 + mrl
+    tposx = x - 1 - mrl + np.arange(nt)
+    lposy = y - 1 - mrl + np.arange(nl)
+    # availability judged at the line-0 neighbor units; the first
+    # 1 + mrl entries (corner region) take the corner unit's flag
+    top_avail = avail(np.maximum(tposx, x - 1),
+                      np.full_like(tposx, y - 1))
+    left_avail = avail(np.full_like(lposy, x - 1),
+                       np.maximum(lposy, y - 1))
+    corner_ok = avail(np.asarray([x - 1]), np.asarray([y - 1]))[0]
+    top_avail[:1 + mrl] = corner_ok
+    left_avail[:1 + mrl] = corner_ok
 
     dcval = 1 << (bit_depth - 1)
-    top = np.full(2 * w + 1, dcval, np.int32)
-    left = np.full(2 * h + 1, dcval, np.int32)
+    top = np.full(nt, dcval, np.int32)
+    left = np.full(nl, dcval, np.int32)
     if not (top_avail.any() or left_avail.any()):
         return top, left
 
-    top_v = recon[min(max(y - 1, 0), H - 1), np.clip(tposx, 0, W - 1)]
-    left_v = recon[np.clip(lposy, 0, H - 1), min(max(x - 1, 0), W - 1)]
+    top_v = recon[min(max(y - 1 - mrl, 0), H - 1), np.clip(tposx, 0, W - 1)]
+    left_v = recon[np.clip(lposy, 0, H - 1), min(max(x - 1 - mrl, 0), W - 1)]
     np.copyto(top, top_v.astype(np.int32), where=top_avail)
     np.copyto(left, left_v.astype(np.int32), where=left_avail)
 
@@ -222,12 +241,12 @@ def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
     np.maximum.accumulate(keep, out=keep)
     seq_vals = seq_vals[keep]
 
-    nl = 2 * h
-    out_top = np.empty(2 * w + 1, np.int32)
-    out_left = np.empty(2 * h + 1, np.int32)
-    out_top[0] = out_left[0] = seq_vals[nl]
-    out_top[1:] = seq_vals[nl + 1:]
-    out_left[1:] = seq_vals[nl - 1::-1]
+    nleft = nl - 1
+    out_top = np.empty(nt, np.int32)
+    out_left = np.empty(nl, np.int32)
+    out_top[0] = out_left[0] = seq_vals[nleft]
+    out_top[1:] = seq_vals[nleft + 1:]
+    out_left[1:] = seq_vals[nleft - 1::-1]
     return out_top, out_left
 
 
@@ -263,11 +282,12 @@ def predict_planar(top: np.ndarray, left: np.ndarray, w: int, h: int
             >> (log2w + log2h + 1)).astype(np.int32)
 
 
-def predict_dc(top: np.ndarray, left: np.ndarray, w: int, h: int
-               ) -> np.ndarray:
-    """xGetPredValDc parity: averages the longer side (both if square)."""
-    t = top[1:w + 1].astype(np.int64)
-    l = left[1:h + 1].astype(np.int64)
+def predict_dc(top: np.ndarray, left: np.ndarray, w: int, h: int,
+               mrl: int = 0) -> np.ndarray:
+    """xGetPredValDc parity: averages the longer side (both if
+    square); samples from the mrl-th line (IntraPrediction.cpp:168)."""
+    t = top[mrl + 1:mrl + w + 1].astype(np.int64)
+    l = left[mrl + 1:mrl + h + 1].astype(np.int64)
     if w == h:
         denom = w << 1
         s = t.sum() + l.sum()
@@ -299,41 +319,51 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
                     w: int, h: int, params=None,
                     bit_depth: int = 10, chroma: bool = False
                     ) -> np.ndarray:
-    """xPredIntraAng parity (refIdx 0). top/left must already be
-    filtered if params['refFilter']. chroma=True uses the 2-tap linear
-    interpolation (IntraPrediction.cpp:~590 'Do linear filtering')."""
+    """xPredIntraAng parity. top/left must already be filtered if
+    params['refFilter']. chroma=True uses the 2-tap linear
+    interpolation (IntraPrediction.cpp:~590 'Do linear filtering').
+    params['mrl'] > 0: multi-reference-line prediction — top/left hold
+    the line-k references (length +k) and indexing/start offsets follow
+    IntraPrediction.cpp:479-565 (refMain += multiRefIdx, deltaPos
+    starts at angle * (1 + multiRefIdx))."""
     if params is None:
         params = pred_params(mode, w, h)
     pred_mode = params["predMode"]
+    mrl = params.get("mrl", 0)
     is_ver, ang, abs_inv = _angle_params(pred_mode)
     clip_hi = (1 << bit_depth) - 1
 
     width, height = (w, h) if is_ver else (h, w)
-    # main/side reference 1-D arrays with index 0 at the corner
-    # (refMain[k] valid for k in [-sizeSide..] when ang<0)
+    # main/side reference 1-D arrays; `off` maps post-shift refMain
+    # index 0 (refMain += multiRefIdx applied via off)
     if ang < 0:
-        main_sz = width + 2
-        refMain = np.zeros(height + width + 2 + 1, np.int64)
-        off = height  # refMain[k] at array idx k + off
+        refMain = np.zeros(height + width + 2 + 1 + mrl, np.int64)
+        off = height  # pre-shift refMain[k] at array idx k + off
         src_main = top if is_ver else left
         src_side = left if is_ver else top
-        for i in range(0, width + 2):
+        for i in range(0, width + 2 + mrl):
             refMain[i + off] = src_main[i]
         sizeSide = height
         for k in range(-sizeSide, 0):
             idx = min((-k * abs_inv + 256) >> 9, sizeSide)
             refMain[k + off] = src_side[idx]
         side = src_side
+        off += mrl            # refMain += multiRefIdx
     else:
         refLength = 2 * width
-        refMain = np.zeros(refLength + 3, np.int64)
+        max_ext = 3 + mrl * 4
+        refMain = np.zeros(refLength + mrl + max_ext, np.int64)
         off = 0
         src_main = top if is_ver else left
         src_side = left if is_ver else top
-        refMain[:refLength + 1] = src_main[:refLength + 1]
-        refMain[refLength + 1] = src_main[refLength]
-        refMain[refLength + 2] = src_main[refLength]
+        refMain[:refLength + 1 + mrl] = src_main[:refLength + 1 + mrl]
+        log2_ratio = (width.bit_length() - height.bit_length())
+        sft = max(0, log2_ratio if is_ver else -log2_ratio)
+        max_index = (mrl << sft) + 2
+        for z in range(1, max_index + 1):
+            refMain[refLength + mrl + z] = src_main[refLength + mrl]
         side = src_side
+        off = mrl             # refMain += multiRefIdx
 
     pred = np.zeros((height, width), np.int64)
     if ang == 0:
@@ -350,7 +380,7 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
                     pred[yy, xx] = min(max(val, 0), clip_hi)
     else:
         use_cubic = not params["interpFilter"]
-        delta_pos = ang
+        delta_pos = ang * (1 + mrl)
         for yy in range(height):
             delta_int = delta_pos >> 5
             delta_fract = delta_pos & 31
@@ -395,21 +425,25 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
 
 
 def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
-            bit_depth: int = 10, chroma: bool = False) -> np.ndarray:
+            bit_depth: int = 10, chroma: bool = False,
+            mrl: int = 0) -> np.ndarray:
     """Full intra prediction incl. PDPC. top/left are UNFILTERED;
     smoothing is applied internally per the MDIS rules (luma only —
-    initPredIntraParams disables smoothing for chroma)."""
-    params = pred_params(mode, w, h)
+    initPredIntraParams disables smoothing for chroma). mrl: multi
+    reference line index (top/left from build_refs_grid(mrl=k);
+    planar is not valid for mrl > 0)."""
+    params = pred_params(mode, w, h, mrl=mrl)
     if chroma:
         params = dict(params, refFilter=False)
     if params["refFilter"]:
         top, left = filter_refs(top, left)
     if mode == PLANAR_IDX:
+        assert mrl == 0, "planar is excluded with MRL"
         p = predict_planar(top, left, w, h)
         if params["applyPDPC"]:
             p = _pdpc_planar_dc(p, top, left)
     elif mode == DC_IDX:
-        p = predict_dc(top, left, w, h)
+        p = predict_dc(top, left, w, h, mrl=mrl)
         if params["applyPDPC"]:
             p = _pdpc_planar_dc(p, top, left)
     else:
