@@ -557,6 +557,8 @@ class FrameEncoder:
                               mts=trial.get("mts_idx", 0))
                     if trial.get("mrl"):
                         ev["mrl"] = trial["mrl"]
+                    if trial.get("chroma_mode", "dm") != "dm":
+                        ev["cclm"] = trial["chroma_mode"]
                 else:
                     mi2 = trial["mi"]
                     ev.update(kind=kind,
@@ -895,6 +897,99 @@ class FrameEncoder:
             outs.append((q, recon, cbf, ssd))
         return outs
 
+    def _cclm_avail(self, xc, yc, wc, hc):
+        """CCLM template availability (xGetLumaRecPixels /
+        xGetLMParameters isAbove/Left/AboveRight/BelowLeftAvailable):
+        above/left require ALL edge units coded; above-right and
+        below-left count contiguous available units (chroma unit = 2
+        samples)."""
+        m = self.maps
+
+        def unit_ok(cx, cy):
+            lx, ly = 2 * cx, 2 * cy
+            if lx < 0 or ly < 0 or lx // 4 >= m.gw or ly // 4 >= m.gh:
+                return False
+            return bool(m.coded[ly // 4, lx // 4])
+
+        above = yc > 0 and all(unit_ok(xc + 2 * i, yc - 1)
+                               for i in range(wc // 2))
+        left = xc > 0 and all(unit_ok(xc - 1, yc + 2 * j)
+                              for j in range(hc // 2))
+        ar = 0
+        if above:
+            for i in range(wc // 2):
+                if unit_ok(xc + wc + 2 * i, yc - 1):
+                    ar += 1
+                else:
+                    break
+        lb = 0
+        if left:
+            for j in range(hc // 2):
+                if unit_ok(xc - 1, yc + hc + 2 * j):
+                    lb += 1
+                else:
+                    break
+        return above, left, ar, lb
+
+    def _chroma_cclm(self, x, y, w, h, mode):
+        """CCLM chroma prediction + residual for one LM mode
+        (predIntraChromaLM, IntraPrediction.cpp:266)."""
+        xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+        bd = self.cfg.bit_depth
+        above, left, ar_u, lb_u = self._cclm_avail(xc, yc, wc, hc)
+        tpos, lpos, sel_above, sel_left, added_ar, added_lb = \
+            intra.cclm_select_positions(mode, wc, hc, above, left,
+                                        ar_u, lb_u)
+        first_row = (y % self.cfg.ctu_size) == 0
+        inner, ds_top, ds_left = intra.cclm_downsample(
+            self.recon, xc, yc, wc, hc, above, left, first_row,
+            added_ar, added_lb)
+        outs = []
+        for plane_o, plane_r in ((self.org_cb, self.recon_cb),
+                                 (self.org_cr, self.recon_cr)):
+            sel_l, sel_c = [], []
+            if sel_above:
+                for p in tpos:
+                    sel_l.append(int(ds_top[p]))
+                    sel_c.append(int(plane_r[yc - 1, xc + p]))
+            if sel_left:
+                for p in lpos:
+                    sel_l.append(int(ds_left[p]))
+                    sel_c.append(int(plane_r[yc + p, xc - 1]))
+            a, b, sh = intra.cclm_params(sel_l, sel_c, bd)
+            pred = intra.cclm_predict(inner, a, b, sh, bd)
+            blk = plane_o[yc:yc + hc, xc:xc + wc]
+            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            outs.append((q, recon, cbf, ssd))
+        return outs
+
+    def _best_chroma_intra(self, x, y, w, h, luma_mode):
+        """Choose DM vs the three CCLM modes by chroma RD proxy."""
+        dm = self._chroma_intra(x, y, w, h, luma_mode)
+        if not self.cfg.cclm:
+            return dm, "dm"
+
+        def cost(outs, bins):
+            c = self.lam * bins
+            for q, recon, cbf, ssd in outs:
+                aq = np.abs(q)
+                nnz = int((aq > 0).sum())
+                bits = 2.0 * nnz
+                if nnz:
+                    bits += float(np.log2(aq[aq > 0] + 1).sum())
+                c += ssd + self.lam * bits
+            return c
+
+        best = (cost(dm, 2), dm, "dm")
+        for cm in (intra.LM_CHROMA_IDX, intra.MDLM_L_IDX,
+                   intra.MDLM_T_IDX):
+            outs = self._chroma_cclm(x, y, w, h, cm)
+            c = cost(outs, 2 if cm == intra.LM_CHROMA_IDX else 3)
+            if c < best[0]:
+                best = (c, outs, cm)
+        return best[1], best[2]
+
     def _motion_pred_luma(self, x, y, w, h, mi):
         bd = self.cfg.bit_depth
         if mi.inter_dir == 1:
@@ -1214,12 +1309,20 @@ class FrameEncoder:
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
         tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
               "recon": recon, "chroma": None, "ts": ts}
+        chroma_mode = "dm"
         if self.chroma:
-            ch = self._chroma_intra(x, y, w, h, mode)
+            # CCLM reads the CURRENT CU's reconstructed luma (the
+            # decoder reconstructs luma before chroma): splice the
+            # trial recon in for the chroma evaluation
+            save = self.recon[y:y + h, x:x + w].copy()
+            self.recon[y:y + h, x:x + w] = recon
+            ch, chroma_mode = self._best_chroma_intra(x, y, w, h, mode)
+            self.recon[y:y + h, x:x + w] = save
             tu["chroma"] = ch
             ssd += ch[0][3] + ch[1][3]
         return {"mode": mode, "tus": [tu], "ssd": ssd,
-                "mts_idx": mts_idx, "mrl": mrl}
+                "mts_idx": mts_idx, "mrl": mrl,
+                "chroma_mode": chroma_mode}
 
     def _coeff_cost_proxy(self, blk, recon, q):
         """SSD + lambda * rough level-bit estimate (mode selection
@@ -1715,8 +1818,20 @@ class FrameEncoder:
         mpm = self._mpms(x, y, w, h)
         write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl)
         if self.chroma:
-            # intra_chroma_pred_mode: DM -> single 0 bin (cclm off)
-            enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
+            # intra_chroma_pred_mode (CABACWriter.cpp:1390): cclm flag
+            # + lmc mode when enabled; we signal DM or an LM mode
+            cm = trial.get("chroma_mode", "dm")
+            if self.cfg.cclm:
+                enc.encode_bin(0 if cm == "dm" else 1,
+                               ctx_ids.CclmModeFlag[0])
+                if cm != "dm":
+                    enc.encode_bin(0 if cm == intra.LM_CHROMA_IDX
+                                   else 1, ctx_ids.CclmModeIdx[0])
+                    if cm != intra.LM_CHROMA_IDX:
+                        enc.encode_bin_ep(
+                            0 if cm == intra.MDLM_L_IDX else 1)
+            if cm == "dm":
+                enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
         for tu in trial["tus"]:       # intra: luma cbf always signalled
             self._write_tu(tu)
         self._write_mts_idx(w, h, trial)

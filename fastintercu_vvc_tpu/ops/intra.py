@@ -498,3 +498,165 @@ def get_intra_mpms(left_mode: int | None, above_mode: int | None):
             mpm[4] = ((m + offset - 1) % mod) + 2
             mpm[5] = (m % mod) + 2
     return mpm
+
+
+# ---------------------------------------------------------------------------
+# CCLM (cross-component linear model) — LM_CHROMA 81 / MDLM_L 82 / MDLM_T 83
+
+LM_CHROMA_IDX = 81
+MDLM_L_IDX = 82
+MDLM_T_IDX = 83
+
+# 4-bit significand division table (xGetLMParameters,
+# IntraPrediction.cpp:1786)
+_DIV_SIG_TABLE = (0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0)
+
+
+def cclm_downsample(recon_y, xc, yc, wc, hc, above, left, first_ctu_row,
+                    added_ar=0, added_lb=0):
+    """xGetLumaRecPixels parity for 4:2:0, vertical-collocated flag OFF
+    (the 6-tap {1,2,1;1,2,1}/8 filter; 3-tap {1,2,1}/4 on the first CTU
+    row's above template). Chroma coords/sizes.
+
+    -> (inner [hc,wc], top template [wc+added_ar] or None,
+        left template [hc+added_lb] or None)
+    """
+    H, W = recon_y.shape
+    x0, y0 = 2 * xc, 2 * yc
+
+    def rec(yy, xx):
+        return int(recon_y[min(max(yy, 0), H - 1), min(max(xx, 0), W - 1)])
+
+    def ds6(yy, xx, left_pad):
+        s = 4
+        s += rec(yy, xx) * 2
+        s += rec(yy, xx + 1)
+        s += rec(yy, xx - (0 if left_pad else 1))
+        s += rec(yy + 1, xx) * 2
+        s += rec(yy + 1, xx + 1)
+        s += rec(yy + 1, xx - (0 if left_pad else 1))
+        return s >> 3
+
+    inner = np.empty((hc, wc), np.int32)
+    for j in range(hc):
+        for i in range(wc):
+            inner[j, i] = ds6(y0 + 2 * j, x0 + 2 * i,
+                              i == 0 and not left)
+    top = None
+    if above:
+        n = wc + added_ar
+        top = np.empty(n, np.int32)
+        for i in range(n):
+            left_pad = i == 0 and not left
+            if first_ctu_row:
+                s = 2 + rec(y0 - 1, x0 + 2 * i) * 2 \
+                    + rec(y0 - 1, x0 + 2 * i + 1) \
+                    + rec(y0 - 1, x0 + 2 * i - (0 if left_pad else 1))
+                top[i] = s >> 2
+            else:
+                top[i] = ds6(y0 - 2, x0 + 2 * i, left_pad)
+    lft = None
+    if left:
+        n = hc + added_lb
+        lft = np.empty(n, np.int32)
+        for j in range(n):
+            lft[j] = ds6(y0 + 2 * j, x0 - 2, False)
+    return inner, top, lft
+
+
+def cclm_params(sel_luma, sel_chroma, bit_depth=10):
+    """xGetLMParameters 4-point min/max model fit
+    (IntraPrediction.cpp:1744-1806). sel_* are the picked template
+    samples (length 0, 2 or 4). -> (a, b, shift)."""
+    cnt = len(sel_luma)
+    if cnt == 0:
+        return 0, 1 << (bit_depth - 1), 0
+    lum = list(sel_luma) + [0] * (4 - cnt)
+    chr_ = list(sel_chroma) + [0] * (4 - cnt)
+    if cnt == 2:
+        lum[3], chr_[3] = lum[0], chr_[0]
+        lum[2], chr_[2] = lum[1], chr_[1]
+        lum[0], chr_[0] = lum[1], chr_[1]
+        lum[1], chr_[1] = lum[3], chr_[3]
+    mn = [0, 2]
+    mx = [1, 3]
+    if lum[mn[0]] > lum[mn[1]]:
+        mn = [mn[1], mn[0]]
+    if lum[mx[0]] > lum[mx[1]]:
+        mx = [mx[1], mx[0]]
+    if lum[mn[0]] > lum[mx[1]]:
+        mn, mx = mx, mn
+    if lum[mn[1]] > lum[mx[0]]:
+        mn[1], mx[0] = mx[0], mn[1]
+    min_l = (lum[mn[0]] + lum[mn[1]] + 1) >> 1
+    min_c = (chr_[mn[0]] + chr_[mn[1]] + 1) >> 1
+    max_l = (lum[mx[0]] + lum[mx[1]] + 1) >> 1
+    max_c = (chr_[mx[0]] + chr_[mx[1]] + 1) >> 1
+    diff = max_l - min_l
+    if diff <= 0:
+        return 0, min_c, 0
+    diff_c = max_c - min_c
+    x = diff.bit_length() - 1
+    norm_diff = ((diff << 4) >> x) & 15
+    v = _DIV_SIG_TABLE[norm_diff] | 8
+    x += int(norm_diff != 0)
+    y = (abs(diff_c).bit_length() - 1) + 1 if diff_c else 1
+    add = (1 << y) >> 1
+    a = (diff_c * v + add) >> y
+    shift = 3 + x - y
+    if shift < 1:
+        shift = 1
+        a = 0 if a == 0 else (-15 if a < 0 else 15)
+    b = min_c - ((a * min_l) >> shift)
+    return a, b, shift
+
+
+def cclm_select_positions(mode, wc, hc, above, left, avai_ar_units,
+                          avai_lb_units):
+    """The template-sample picking of xGetLMParameters: returns
+    (top_positions, left_positions) index lists into the downsampled
+    top/left templates, plus the above/left availability after the
+    MDLM overrides and the extension lengths (added_ar, added_lb)."""
+    unit = 2                       # chroma unit size (MIN_CU 4 luma)
+    added_ar = added_lb = 0
+    if mode == MDLM_T_IDX:
+        left = False
+        ar = min(avai_ar_units, hc // unit)
+        added_ar = ar * unit
+        actual_top = unit * (wc // unit + ar) if above else 0
+        actual_left = 0
+    elif mode == MDLM_L_IDX:
+        above = False
+        lb = min(avai_lb_units, wc // unit)
+        added_lb = lb * unit
+        actual_left = unit * (hc // unit + lb) if left else 0
+        actual_top = 0
+    else:
+        actual_top = wc if above else 0
+        actual_left = hc if left else 0
+    above_is4 = 0 if left else 1
+    left_is4 = 0 if above else 1
+    tpos, lpos = [], []
+    if above:
+        start = actual_top >> (2 + above_is4)
+        step = max(1, actual_top >> (1 + above_is4))
+        cnt_t = min(actual_top, (1 + above_is4) << 1)
+        pos = start
+        for _ in range(cnt_t):
+            tpos.append(pos)
+            pos += step
+    if left:
+        start = actual_left >> (2 + left_is4)
+        step = max(1, actual_left >> (1 + left_is4))
+        cnt_l = min(actual_left, (1 + left_is4) << 1)
+        pos = start
+        for _ in range(cnt_l):
+            lpos.append(pos)
+            pos += step
+    return tpos, lpos, above, left, added_ar, added_lb
+
+
+def cclm_predict(inner, a, b, shift, bit_depth=10):
+    """PelBuf::linearTransform parity (clip on)."""
+    val = ((inner.astype(np.int64) * a) >> shift) + b
+    return np.clip(val, 0, (1 << bit_depth) - 1).astype(np.int32)
