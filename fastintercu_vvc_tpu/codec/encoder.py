@@ -880,22 +880,103 @@ class FrameEncoder:
             return q, _clip_pel(pred + r, bd), True
         return q, _clip_pel(pred, bd), False
 
+    @staticmethod
+    def _trunc_div(v, d):
+        """C-style truncating integer division on arrays."""
+        return np.sign(v) * (np.abs(v) // d)
+
+    def _chroma_pair_eval(self, blk_cb, pred_cb, blk_cr, pred_cr,
+                          intra_cu):
+        """Separate Cb/Cr TQ, plus joint-CbCr (ICT) candidates when
+        enabled (TrQuant fwdTransformCbCr modes +1/+2/+3, sign flag 0;
+        selectICTCandidates tests all masks for intra, mask 3 for
+        inter). -> (outs, joint_mask)."""
+        bd = self.cfg.bit_depth
+
+        def tq_pair(blk, pred):
+            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            return (q, recon, cbf, ssd)
+
+        def proxy(outs, extra_bins):
+            c = self.lam * extra_bins
+            for q, recon, cbf, ssd in outs:
+                c += ssd
+                if q is not None:
+                    aq = np.abs(q)
+                    nnz = int((aq > 0).sum())
+                    if nnz:
+                        c += self.lam * (2.0 * nnz + float(
+                            np.log2(aq[aq > 0] + 1).sum()))
+            return c
+
+        sep = [tq_pair(blk_cb, pred_cb), tq_pair(blk_cr, pred_cr)]
+        if not self.cfg.joint_cbcr:
+            return sep, 0
+        res_cb = (blk_cb - pred_cb).astype(np.int64)
+        res_cr = (blk_cr - pred_cr).astype(np.int64)
+        best = (proxy(sep, 1 if (sep[0][2] or sep[1][2]) else 0), sep, 0)
+        clip_hi = (1 << bd) - 1
+        irap = self.slice_type == hls.I_SLICE
+        for mask in ((1, 2, 3) if intra_cu else (3,)):
+            if mask == 3:
+                c = self._trunc_div(res_cb + res_cr, 2)
+            elif mask == 2:
+                c = self._trunc_div(4 * res_cb + 2 * res_cr, 5)
+            else:
+                c = self._trunc_div(4 * res_cr + 2 * res_cb, 5)
+            coeff = tnp.fwd_transform_2d(c.astype(np.int32),
+                                         bit_depth=bd)
+            if self.cfg.dep_quant:
+                q = tnp.quant_dep(coeff, self.qp_c_eff, bit_depth=bd,
+                                  is_irap=irap)
+            else:
+                q = tnp.quant(coeff, self.qp_c_eff, bit_depth=bd,
+                              is_irap=irap)
+            if not np.any(q):
+                continue      # the carried cbf must be 1
+            if self.cfg.dep_quant:
+                dq = tnp.dequant_dep(q, self.qp_c_eff, bit_depth=bd)
+            else:
+                dq = tnp.dequant(q, self.qp_c_eff, bit_depth=bd)
+            r = tnp.inv_transform_2d(dq, bit_depth=bd).astype(np.int64)
+            # inverse ICT, sign flag 0 (invTransformCbCr modes 1/2/3)
+            if mask == 3:
+                rcb, rcr = r, r
+            elif mask == 2:
+                rcb, rcr = r, r >> 1
+            else:
+                rcb, rcr = r >> 1, r
+            rec_cb = np.clip(pred_cb + rcb, 0, clip_hi).astype(np.int32)
+            rec_cr = np.clip(pred_cr + rcr, 0, clip_hi).astype(np.int32)
+            ssd_cb = float(((blk_cb - rec_cb).astype(np.int64) ** 2)
+                           .sum())
+            ssd_cr = float(((blk_cr - rec_cr).astype(np.int64) ** 2)
+                           .sum())
+            outs = [(q if mask & 2 else None, rec_cb, bool(mask & 2),
+                     ssd_cb),
+                    (q if mask == 1 else None, rec_cr, bool(mask & 1),
+                     ssd_cr)]
+            cost = proxy(outs, 1)
+            if cost < best[0]:
+                best = (cost, outs, mask)
+        return best[1], best[2]
+
     def _chroma_intra(self, x, y, w, h, luma_mode):
-        """DM chroma prediction + residual for the CU at luma coords."""
+        """DM chroma prediction + residual for the CU at luma coords.
+        -> (outs, joint_cbcr_mask)."""
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
         bd = self.cfg.bit_depth
-        outs = []
+        preds, blks = [], []
         for plane_o, plane_r in ((self.org_cb, self.recon_cb),
                                  (self.org_cr, self.recon_cr)):
             top, left = intra.build_refs_grid(plane_r, xc, yc, wc, hc,
                                               bd, self.maps.coded, sub=2)
-            pred = intra.predict(luma_mode, top, left, wc, hc, bd,
-                                 chroma=True)
-            blk = plane_o[yc:yc + hc, xc:xc + wc]
-            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
-            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-            outs.append((q, recon, cbf, ssd))
-        return outs
+            preds.append(intra.predict(luma_mode, top, left, wc, hc, bd,
+                                       chroma=True))
+            blks.append(plane_o[yc:yc + hc, xc:xc + wc])
+        return self._chroma_pair_eval(blks[0], preds[0], blks[1],
+                                      preds[1], intra_cu=True)
 
     def _cclm_avail(self, xc, yc, wc, hc):
         """CCLM template availability (xGetLumaRecPixels /
@@ -965,30 +1046,33 @@ class FrameEncoder:
         return outs
 
     def _best_chroma_intra(self, x, y, w, h, luma_mode):
-        """Choose DM vs the three CCLM modes by chroma RD proxy."""
-        dm = self._chroma_intra(x, y, w, h, luma_mode)
+        """Choose DM vs the three CCLM modes by chroma RD proxy.
+        -> (outs, chroma_mode, joint_cbcr_mask)."""
+        dm, dm_joint = self._chroma_intra(x, y, w, h, luma_mode)
         if not self.cfg.cclm:
-            return dm, "dm"
+            return dm, "dm", dm_joint
 
         def cost(outs, bins):
             c = self.lam * bins
             for q, recon, cbf, ssd in outs:
+                c += ssd
+                if q is None:
+                    continue
                 aq = np.abs(q)
                 nnz = int((aq > 0).sum())
-                bits = 2.0 * nnz
                 if nnz:
-                    bits += float(np.log2(aq[aq > 0] + 1).sum())
-                c += ssd + self.lam * bits
+                    c += self.lam * (2.0 * nnz + float(
+                        np.log2(aq[aq > 0] + 1).sum()))
             return c
 
-        best = (cost(dm, 2), dm, "dm")
+        best = (cost(dm, 2), dm, "dm", dm_joint)
         for cm in (intra.LM_CHROMA_IDX, intra.MDLM_L_IDX,
                    intra.MDLM_T_IDX):
             outs = self._chroma_cclm(x, y, w, h, cm)
             c = cost(outs, 2 if cm == intra.LM_CHROMA_IDX else 3)
             if c < best[0]:
-                best = (c, outs, cm)
-        return best[1], best[2]
+                best = (c, outs, cm, 0)
+        return best[1], best[2], best[3]
 
     def _motion_pred_luma(self, x, y, w, h, mi):
         bd = self.cfg.bit_depth
@@ -1020,15 +1104,15 @@ class FrameEncoder:
         return inter.bcw_avg(a, b, mi.bcw, bd)
 
     def _chroma_inter(self, x, y, w, h, mi):
+        """-> (outs, joint_cbcr_mask); inter CUs only test mask 3."""
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
-        outs = []
+        preds, blks = [], []
         for pi, plane_o in enumerate((self.org_cb, self.org_cr)):
-            pred = self._motion_pred_chroma(xc, yc, wc, hc, mi, pi)
-            blk = plane_o[yc:yc + hc, xc:xc + wc]
-            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
-            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-            outs.append((q, recon, cbf, ssd))
-        return outs
+            preds.append(self._motion_pred_chroma(xc, yc, wc, hc, mi,
+                                                  pi))
+            blks.append(plane_o[yc:yc + hc, xc:xc + wc])
+        return self._chroma_pair_eval(blks[0], preds[0], blks[1],
+                                      preds[1], intra_cu=False)
 
     def _commit_chroma(self, x, y, w, h, chroma_outs):
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
@@ -1316,9 +1400,11 @@ class FrameEncoder:
             # trial recon in for the chroma evaluation
             save = self.recon[y:y + h, x:x + w].copy()
             self.recon[y:y + h, x:x + w] = recon
-            ch, chroma_mode = self._best_chroma_intra(x, y, w, h, mode)
+            ch, chroma_mode, jmask = self._best_chroma_intra(
+                x, y, w, h, mode)
             self.recon[y:y + h, x:x + w] = save
             tu["chroma"] = ch
+            tu["joint_cbcr"] = jmask
             ssd += ch[0][3] + ch[1][3]
         return {"mode": mode, "tus": [tu], "ssd": ssd,
                 "mts_idx": mts_idx, "mrl": mrl,
@@ -1360,8 +1446,9 @@ class FrameEncoder:
                   "cbf": cbf, "recon": recon, "chroma": None}
             self.recon[ty:ty + th, tx:tx + tw] = recon
             if self.chroma:
-                ch = self._chroma_intra(tx, ty, tw, th, mode)
+                ch, jmask = self._chroma_intra(tx, ty, tw, th, mode)
                 tu["chroma"] = ch
+                tu["joint_cbcr"] = jmask
                 ssd += ch[0][3] + ch[1][3]
                 self.recon_cb[ty // 2:(ty + th) // 2,
                               tx // 2:(tx + tw) // 2] = ch[0][1]
@@ -1474,8 +1561,9 @@ class FrameEncoder:
             tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
                   "cbf": cbf, "recon": recon, "chroma": None}
             if self.chroma:
-                ch = self._chroma_inter(tx, ty, tw, th, mi)
+                ch, jmask = self._chroma_inter(tx, ty, tw, th, mi)
                 tu["chroma"] = ch
+                tu["joint_cbcr"] = jmask
                 ssd += ch[0][3] + ch[1][3]
             tus.append(tu)
         return tus, ssd
@@ -1766,20 +1854,28 @@ class FrameEncoder:
     # ------------------------------------------------------------------
     # syntax writers
 
-    def _write_tu(self, tu, infer_luma_cbf=False):
+    def _write_tu(self, tu, infer_luma_cbf=False, is_intra=False):
         """transform_unit parity (CABACReader.cpp:2719): cbf_cb, cbf_cr
         (before luma cbf; Cr context depends on this TU's Cb), luma cbf
-        (unless inferred), then residual Y, Cb, Cr."""
+        (unless inferred), tu_joint_cbcr_residual_flag
+        (CABACWriter.cpp:2611), then residual Y, Cb, Cr (Cr skipped for
+        joint mask 3)."""
         enc = self.enc
         ch = tu["chroma"]
         cbf_cb = ch is not None and ch[0][2]
         cbf_cr = ch is not None and ch[1][2]
+        joint = tu.get("joint_cbcr", 0)
         if self.chroma:
             enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
             enc.encode_bin(1 if cbf_cr else 0,
                            ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
         if not infer_luma_cbf:
             enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        if self.chroma and self.cfg.joint_cbcr:
+            mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
+            if (is_intra and mask) or mask == 3:
+                enc.encode_bin(1 if joint else 0,
+                               ctx_ids.JointCbCrFlag[0] + mask - 1)
         dq = self.cfg.dep_quant
         ts_cfg = self.cfg.transform_skip
         if tu["cbf"]:
@@ -1796,7 +1892,7 @@ class FrameEncoder:
                 enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[0][0],
                                            residual.CHROMA, dep_quant=dq)
-        if cbf_cr:
+        if cbf_cr and joint != 3:
             if ts_cfg and tu["w"] // 2 <= 4 and tu["h"] // 2 <= 4:
                 enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[1][0],
@@ -1833,7 +1929,7 @@ class FrameEncoder:
             if cm == "dm":
                 enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
         for tu in trial["tus"]:       # intra: luma cbf always signalled
-            self._write_tu(tu)
+            self._write_tu(tu, is_intra=True)
         self._write_mts_idx(w, h, trial)
 
     def _write_mts_idx(self, w, h, trial):
