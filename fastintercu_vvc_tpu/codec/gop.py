@@ -56,16 +56,23 @@ class SequenceEncoder:
     """Low-delay IPPP encoder over a list of frames."""
 
     def __init__(self, cfg: hls.SeqConfig, intra_period: int = 0,
-                 num_refs: int = 1, rate_control=None, **enc_kwargs):
+                 num_refs: int = 1, rate_control=None, mctf: bool = False,
+                 **enc_kwargs):
         self.cfg = cfg
         self.intra_period = intra_period   # 0 = first frame only
         self.num_refs = num_refs
         self.rate_control = rate_control   # codec.ratectrl.RateController
+        self.mctf = mctf                   # temporal prefilter (ops/mctf)
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
     def encode(self, frames: list[np.ndarray],
                qp: int | None = None) -> SequenceResult:
         cfg = self.cfg
+        if self.mctf:
+            from ..ops import mctf as mctf_ops
+            frames = mctf_ops.mctf_sequence(
+                frames, qp if qp is not None else cfg.qp,
+                bit_depth=cfg.bit_depth)
         nals = []
         recons, bits, types = [], [], []
         ref_queue: list[tuple[int, np.ndarray]] = []
@@ -176,13 +183,14 @@ class RandomAccessEncoder:
     """
 
     def __init__(self, cfg: hls.SeqConfig, gop_size: int = 4,
-                 **enc_kwargs):
+                 mctf: bool = False, **enc_kwargs):
         assert gop_size & (gop_size - 1) == 0, "gop_size must be 2^n"
         assert cfg.num_reorder_pics >= max(
             1, gop_size.bit_length() - 1), \
             "SeqConfig.num_reorder_pics too small for the B pyramid"
         self.cfg = cfg
         self.gop_size = gop_size
+        self.mctf = mctf
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
     def _gop_coding_order(self, lo: int, hi: int):
@@ -201,6 +209,11 @@ class RandomAccessEncoder:
 
     def encode(self, frames: list, qp: int | None = None
                ) -> SequenceResult:
+        if self.mctf:
+            from ..ops import mctf as mctf_ops
+            frames = mctf_ops.mctf_sequence(
+                frames, qp if qp is not None else self.cfg.qp,
+                bit_depth=self.cfg.bit_depth)
         n = len(frames)
         done: dict[int, object] = {}
         nals = []
