@@ -29,7 +29,7 @@ import functools
 
 import numpy as np
 
-from ..ops import intra, inter, transforms_np as tnp
+from ..ops import intra, inter, geo as geo_ops, transforms_np as tnp
 from ..utils import trace
 from .. import native
 from . import cabac, contexts, ctx_ids, hls, partition, residual
@@ -576,6 +576,8 @@ class FrameEncoder:
                         ev["imv"] = trial["imv"]
                     if trial.get("ciip"):
                         ev["ciip"] = 1
+                    if "geo" in trial:
+                        ev["geo"] = trial["geo"][0]
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -1264,6 +1266,12 @@ class FrameEncoder:
                     self._write_leaf_merge(x, y, w, h, trial)
                     consider("merge", trial)
 
+            if self._geo_allowed(w, h):
+                for trial in self._try_geo(x, y, w, h, blk,
+                                           merge_cands):
+                    self._write_leaf_merge(x, y, w, h, trial)
+                    consider("merge", trial)
+
             if self._ciip_allowed(w, h):
                 tested = set()
                 for m_idx, mi in enumerate(merge_cands[:2]):
@@ -1283,6 +1291,9 @@ class FrameEncoder:
         _EncState.restore(enc, end_state)
         if kind == "intra":
             self._commit_intra(x, y, w, h, qt_depth, trial)
+        elif "geo" in trial:
+            self._commit_trial_recon(trial)
+            self._commit_geo(x, y, w, h, qt_depth, trial)
         else:
             mi = trial["mi"]
             self._commit_trial_recon(trial)
@@ -1298,6 +1309,32 @@ class FrameEncoder:
                 "merge" if "m_idx" in trial else "inter", trial)
             inter.hmvp_update(self.hmvp, mi)
         return trial["ssd"]
+
+    def _commit_geo(self, x, y, w, h, qt_depth, trial):
+        """Commit a GEO CU: per-4x4 motion span
+        (PU::spanGeoMotionInfo); geo CUs do NOT enter the HMVP LUT
+        (CU::saveMotionInHMVP, UnitTools.cpp:348)."""
+        d, c0, c1, mi0, mi1 = trial["geo"]
+        span = geo_ops.span_motion(d, w, h, mi0, mi1)
+        m = self.maps
+        m.mark_inter_cu(x, y, w, h, qt_depth, span[0, 0],
+                        skip=trial.get("is_skip", False),
+                        cbfs=self._trial_cbfs(trial))
+        for by in range(h // 4):
+            for bx in range(w // 4):
+                mi = span[by, bx]
+                g = (y // 4 + by, x // 4 + bx)
+                m.inter_dir[g] = mi.inter_dir
+                m.mv0[g] = mi.mv0
+                m.mv1[g] = mi.mv1
+                m.ref0[g] = mi.ref0
+                m.ref1[g] = mi.ref1
+                m.ref_poc[g] = self.ref_pocs[mi.ref0] \
+                    if mi.ref0 >= 0 else -1
+                m.ref_poc1[g] = self.ref_pocs_l1[mi.ref1] \
+                    if mi.ref1 >= 0 else -1
+        self._mark_tu_cbfs(trial)
+        self.cu_log[(x, y)] = ("merge", trial)
 
     @staticmethod
     def _trial_cbfs(trial):
@@ -1781,6 +1818,107 @@ class FrameEncoder:
             out.append(trial)
         return out
 
+    def _geo_allowed(self, w, h):
+        """geoAvailable gate (CABACWriter.cpp:1905): B slice, GPM cand
+        count > 1, 8 <= w,h <= 64, w < 8h, h < 8w."""
+        return (self.cfg.geo and self.slice_type == hls.B_SLICE
+                and self.cfg.max_geo_cand > 1 and self.refs_l1
+                and 8 <= w <= 64 and 8 <= h <= 64
+                and w < 8 * h and h < 8 * w)
+
+    def _try_geo(self, x, y, w, h, blk, merge_cands, num_full_rd=2):
+        """GEO trials: uni candidate list (getGeoMergeCandidates),
+        masked-SAD scoring over all 64 split dirs with integer-pel
+        predictions (EncCu geo SAD pre-pass analogue), full RD with
+        exact blending on the best few."""
+        cands = geo_ops.geo_merge_candidates(merge_cands,
+                                             self.cfg.max_geo_cand)
+        preds, valid = [], []
+        for mi in cands:
+            if mi.inter_dir == 1:
+                if mi.ref0 >= len(self.refs):
+                    preds.append(None)
+                    valid.append(False)
+                    continue
+                ref, mv = self.refs[mi.ref0][1], mi.mv0
+            else:
+                if mi.ref1 >= len(self.refs_l1):
+                    preds.append(None)
+                    valid.append(False)
+                    continue
+                ref, mv = self.refs_l1[mi.ref1][1], mi.mv1
+            preds.append(inter._gather_clamped(
+                ref, x + (mv[0] >> 4), y + (mv[1] >> 4), w, h))
+            valid.append(True)
+        idxs = [i for i in range(len(cands)) if valid[i]]
+        if len(idxs) < 2:
+            return []
+        sads = {i: int(np.abs(blk - preds[i]).sum()) for i in idxs}
+        top = sorted(idxs, key=lambda i: sads[i])[:3]
+        errs = {i: np.abs(blk - preds[i]).astype(np.int64) for i in top}
+        scored = []
+        for c0 in top:
+            for c1 in top:
+                if c0 == c1:
+                    continue
+                for d in range(geo_ops.GEO_NUM_PARTITION_MODE):
+                    wm = geo_ops.weight_mask(d, w, h)
+                    cost = int((wm * errs[c0]
+                                + (8 - wm) * errs[c1]).sum() >> 3)
+                    scored.append((cost, d, c0, c1))
+        scored.sort(key=lambda e: e[:1])
+        out = []
+        bd = self.cfg.bit_depth
+        for _, d, c0, c1 in scored[:num_full_rd]:
+            mi0, mi1 = cands[c0], cands[c1]
+
+            def uni_inter(mi):
+                if mi.inter_dir == 1:
+                    return inter.mc_luma_intermediate(
+                        self.refs[mi.ref0][1], x, y, w, h, mi.mv0, bd)
+                return inter.mc_luma_intermediate(
+                    self.refs_l1[mi.ref1][1], x, y, w, h, mi.mv1, bd)
+
+            pred = geo_ops.blend(uni_inter(mi0), uni_inter(mi1),
+                                 geo_ops.weight_mask(d, w, h), bd)
+            q, recon, cbf = self._tq(blk, pred, self.qp_eff)
+            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+            tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
+                  "recon": recon, "chroma": None}
+            if self.chroma:
+                xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
+                cwm = geo_ops.weight_mask(d, wc, hc, scale=1)
+
+                def uni_c(mi, pi):
+                    if mi.inter_dir == 1:
+                        return inter.mc_chroma_intermediate(
+                            self.refs[mi.ref0][2 + pi], xc, yc, wc, hc,
+                            mi.mv0, bd)
+                    return inter.mc_chroma_intermediate(
+                        self.refs_l1[mi.ref1][2 + pi], xc, yc, wc, hc,
+                        mi.mv1, bd)
+
+                pcb = geo_ops.blend(uni_c(mi0, 0), uni_c(mi1, 0),
+                                    cwm, bd)
+                pcr = geo_ops.blend(uni_c(mi0, 1), uni_c(mi1, 1),
+                                    cwm, bd)
+                ch, jmask = self._chroma_pair_eval(
+                    self.org_cb[yc:yc + hc, xc:xc + wc], pcb,
+                    self.org_cr[yc:yc + hc, xc:xc + wc], pcr,
+                    intra_cu=False)
+                tu["chroma"] = ch
+                tu["joint_cbcr"] = jmask
+                ssd += ch[0][3] + ch[1][3]
+            is_skip = not (cbf or (tu["chroma"] is not None
+                                   and (tu["chroma"][0][2]
+                                        or tu["chroma"][1][2])))
+            # the stored/deblocked motion is the span; mi kept for
+            # trace only
+            out.append({"mi": mi0, "m_idx": None, "tus": [tu],
+                        "ssd": ssd, "is_skip": is_skip,
+                        "geo": (d, c0, c1, mi0, mi1)})
+        return out
+
     def _ciip_allowed(self, w, h):
         """ciipAvailable gate (CABACWriter.cpp:1904): non-skip handled
         by the trial itself; size limits 64 <= w*h, w,h < 128."""
@@ -1967,6 +2105,17 @@ class FrameEncoder:
             enc.encode_bin(1 if is_intra else 0,
                            ctx_ids.PredMode[0] + ctxp)
 
+    def _unary_max_ep(self, symbol, max_symbol):
+        """unary_max_eqprob parity (CABACWriter.cpp:3194)."""
+        if max_symbol == 0:
+            return
+        enc = self.enc
+        code_last = max_symbol > symbol
+        for _ in range(symbol):
+            enc.encode_bin_ep(1)
+        if code_last:
+            enc.encode_bin_ep(0)
+
     def _write_merge_idx(self, m_idx):
         enc = self.enc
         enc.encode_bin(0 if m_idx == 0 else 1, ctx_ids.MergeIdx[0])
@@ -1984,17 +2133,33 @@ class FrameEncoder:
         enc = self.enc
         mmvd_idx = trial.get("mmvd_idx")
         is_ciip = trial.get("ciip", False)
-        ciip_avail = (self._ciip_allowed(w, h)
-                      and not trial.get("is_skip", False))
-        geo_avail = False                     # GEO not yet implemented
+        is_geo = "geo" in trial
+        is_skip = trial.get("is_skip", False)
+        ciip_avail = self._ciip_allowed(w, h) and not is_skip
+        geo_avail = self._geo_allowed(w, h)
         if ciip_avail or geo_avail:
-            # ctx RegularMergeFlag(skip ? 0 : 1); ciip_avail implies
-            # non-skip here
-            enc.encode_bin(0 if is_ciip else 1,
-                           ctx_ids.RegularMergeFlag[0] + 1)
-        if is_ciip:
-            # Ciip_flag written only when GEO is also available;
-            # inferred 1 otherwise. merge_idx follows.
+            enc.encode_bin(0 if (is_ciip or is_geo) else 1,
+                           ctx_ids.RegularMergeFlag[0]
+                           + (0 if is_skip else 1))
+        if is_ciip or is_geo:
+            if ciip_avail and geo_avail:
+                # Ciip_flag (CABACWriter.cpp:2139)
+                enc.encode_bin(1 if is_ciip else 0, ctx_ids.CiipFlag[0])
+            if is_geo:
+                d, c0, c1, _, _ = trial["geo"]
+                # geo merge_idx (CABACWriter.cpp merge_idx geo branch)
+                write_trunc_bin(enc, d, geo_ops.GEO_NUM_PARTITION_MODE)
+                cand1 = c1 - (0 if c1 < c0 else 1)
+                nm2 = self.cfg.max_geo_cand - 2
+                enc.encode_bin(0 if c0 == 0 else 1, ctx_ids.MergeIdx[0])
+                if c0 > 0:
+                    self._unary_max_ep(c0 - 1, nm2)
+                if nm2 > 0:
+                    enc.encode_bin(0 if cand1 == 0 else 1,
+                                   ctx_ids.MergeIdx[0])
+                    if cand1 > 0:
+                        self._unary_max_ep(cand1 - 1, nm2 - 1)
+                return
             self._write_merge_idx(trial["m_idx"])
             return
         if self.cfg.mmvd:

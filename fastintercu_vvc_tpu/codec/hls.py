@@ -102,6 +102,7 @@ class SeqConfig:
     ciip: bool = False
     geo: bool = False
     max_merge_cand: int = 6
+    max_geo_cand: int = 5
     max_affine_merge_cand: int = 5
     # misc
     picture_hash: bool = False    # suffix-SEI MD5 per picture
@@ -254,7 +255,8 @@ def write_sps(cfg: SeqConfig) -> bytes:
     if cfg.max_merge_cand >= 2:
         w.write_flag(1 if cfg.geo else 0)
         if cfg.geo and cfg.max_merge_cand >= 3:
-            w.write_uvlc(cfg.max_merge_cand - 2)  # minus_max_num_gpm_cand (gpm=2)
+            # sps_max_num_merge_cand_minus_max_num_gpm_cand
+            w.write_uvlc(cfg.max_merge_cand - cfg.max_geo_cand)
     w.write_uvlc(0)                     # sps_log2_parallel_merge_level_minus2
     w.write_flag(1 if cfg.isp else 0)
     w.write_flag(1 if cfg.mrl else 0)
