@@ -195,6 +195,10 @@ class _Maps:
         self.cbf_cr = np.zeros(shp, bool)
         self.bcw = np.full(shp, inter.BCW_DEFAULT, np.int8)
         self.ciip = np.zeros(shp, bool)
+        self.tu_x0 = np.zeros(shp, np.int32)
+        self.tu_y0 = np.zeros(shp, np.int32)
+        self.tu_w = np.zeros(shp, np.int32)
+        self.tu_h = np.zeros(shp, np.int32)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -240,7 +244,7 @@ class _Maps:
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
-               "bcw", "ciip")
+               "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -474,7 +478,8 @@ class FrameEncoder:
                 m.cu_x0, m.cu_y0, m.cu_w, m.cu_h,
                 (m.mode >= 0) | m.ciip, m.cbf_y, m.cbf_cb, m.cbf_cr,
                 m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
-                slice_is_b=self.slice_type == hls.B_SLICE)
+                slice_is_b=self.slice_type == hls.B_SLICE,
+                tu_x0=m.tu_x0, tu_y0=m.tu_y0, tu_w=m.tu_w, tu_h=m.tu_h)
             qp_c_for_db = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
                 if self.chroma else qp
             deblock.deblock_frame(
@@ -578,6 +583,8 @@ class FrameEncoder:
                         ev["ciip"] = 1
                     if "geo" in trial:
                         ev["geo"] = trial["geo"][0]
+                    if trial.get("sbt"):
+                        ev["sbt"] = list(trial["sbt"])
                 trace.event("cu", **ev)
         if trace.enabled("frame"):
             d = (self.org - self.recon).astype(np.float64)
@@ -1287,6 +1294,19 @@ class FrameEncoder:
                         self._write_leaf_merge(x, y, w, h, trial)
                         consider("merge", trial)
 
+        if self.cfg.sbt and best is not None:
+            kind0, trial0 = best[1], best[2]
+            if kind0 in ("inter", "merge") and "geo" not in trial0 \
+                    and not trial0.get("ciip") \
+                    and not trial0.get("is_skip") \
+                    and "sbt" not in trial0:
+                for t in self._sbt_trials(x, y, w, h, blk, trial0):
+                    if kind0 == "merge":
+                        self._write_leaf_merge(x, y, w, h, t)
+                    else:
+                        self._write_leaf_inter(x, y, w, h, t)
+                    consider(kind0, t)
+
         cost, kind, trial, end_state = best
         _EncState.restore(enc, end_state)
         if kind == "intra":
@@ -1365,6 +1385,10 @@ class FrameEncoder:
             m.cbf_y[sl] = tu["cbf"]
             m.cbf_cb[sl] = bool(ch is not None and ch[0][2])
             m.cbf_cr[sl] = bool(ch is not None and ch[1][2])
+            m.tu_x0[sl] = tu["x"]
+            m.tu_y0[sl] = tu["y"]
+            m.tu_w[sl] = tu["w"]
+            m.tu_h[sl] = tu["h"]
 
     def _commit_intra(self, x, y, w, h, qt_depth, trial):
         self._commit_trial_recon(trial)
@@ -1818,6 +1842,170 @@ class FrameEncoder:
             out.append(trial)
         return out
 
+    # SBT idx values (TypeDef.h): 1 VER_HALF, 2 HOR_HALF, 3 VER_QUAD,
+    # 4 HOR_QUAD
+    def _sbt_allowed_mask(self, w, h):
+        """CodingUnit::checkAllowedSbt (Unit.cpp:450) as a bitmask
+        (bit i = sbt idx i allowed); caller guarantees inter non-CIIP."""
+        if not self.cfg.sbt:
+            return 0
+        max_tb = 1 << self.cfg.log2_max_tb
+        if w > max_tb or h > max_tb:
+            return 0
+        mask = 0
+        if w >= 8:
+            mask |= 1 << 1
+        if h >= 8:
+            mask |= 1 << 2
+        if w >= 16:
+            mask |= 1 << 3
+        if h >= 16:
+            mask |= 1 << 4
+        return mask
+
+    @staticmethod
+    def _sbt_region(x, y, w, h, sbt_idx, sbt_pos):
+        """Active (residual) TU rectangle for an SBT mode."""
+        if sbt_idx == 1:        # VER_HALF
+            tw = w // 2
+            return (x + (tw if sbt_pos else 0), y, tw, h)
+        if sbt_idx == 2:        # HOR_HALF
+            th = h // 2
+            return (x, y + (th if sbt_pos else 0), w, th)
+        if sbt_idx == 3:        # VER_QUAD
+            tw = w // 4
+            return (x + (w - tw if sbt_pos else 0), y, tw, h)
+        th = h // 4             # HOR_QUAD
+        return (x, y + (h - th if sbt_pos else 0), w, th)
+
+    def _sbt_tr_types(self, sbt_idx, sbt_pos, tw, th):
+        """Implied SBT transform pair (TrQuant::getTrTypes,
+        TrQuant.cpp:666): DST7/DCT8 only when sps_mts is enabled and
+        the TU fits 32; DCT2 otherwise."""
+        if not (self.cfg.mts_intra or self.cfg.mts_inter):
+            return tnp.DCT2, tnp.DCT2
+        if sbt_idx in (1, 3):   # vertical split
+            if th > 32:
+                return tnp.DCT2, tnp.DCT2
+            return (tnp.DCT8, tnp.DST7) if sbt_pos == 0 \
+                else (tnp.DST7, tnp.DST7)
+        if tw > 32:
+            return tnp.DCT2, tnp.DCT2
+        return (tnp.DST7, tnp.DCT8) if sbt_pos == 0 \
+            else (tnp.DST7, tnp.DST7)
+
+    def _sbt_trials(self, x, y, w, h, blk, base_trial, num_best=2):
+        """SBT variants of an inter trial's motion: residual confined
+        to a half/quarter TU with the implied transform pair, the rest
+        zeroed (InterSearch SBT loop analogue). Encoder-side gating
+        keeps TU dims >= 8 so all deblocking edges stay on the 8-grid."""
+        mi = base_trial["mi"]
+        bd = self.cfg.bit_depth
+        pred = self._motion_pred_luma(x, y, w, h, mi)
+        res = (blk - pred).astype(np.int64)
+        energy = res * res
+        cands = []
+        mask = self._sbt_allowed_mask(w, h)
+        for sbt_idx, need in ((1, 16), (2, 16), (3, 32), (4, 32)):
+            if not (mask >> sbt_idx) & 1:
+                continue
+            if (w if sbt_idx in (1, 3) else h) < need:
+                continue        # keep TU dims >= 8 (deblock grid)
+            for pos in (0, 1):
+                tx, ty, tw, th = self._sbt_region(x, y, w, h, sbt_idx,
+                                                  pos)
+                e_in = float(energy[ty - y:ty - y + th,
+                                    tx - x:tx - x + tw].sum())
+                e_tot = float(energy.sum())
+                cands.append((e_tot - e_in, sbt_idx, pos,
+                              (tx, ty, tw, th)))
+        cands.sort(key=lambda c: c[0])
+        out = []
+        for _, sbt_idx, pos, (tx, ty, tw, th) in cands[:num_best]:
+            kh, kv = self._sbt_tr_types(sbt_idx, pos, tw, th)
+            tblk = self.org[ty:ty + th, tx:tx + tw]
+            tpred = pred[ty - y:ty - y + th, tx - x:tx - x + tw]
+            irap = False
+            coeff = tnp.fwd_transform_2d(tblk - tpred, kind_h=kh,
+                                         kind_v=kv, bit_depth=bd)
+            if self.cfg.dep_quant:
+                q = tnp.quant_dep(coeff, self.qp_eff, bit_depth=bd,
+                                  is_irap=irap)
+            else:
+                q = tnp.quant(coeff, self.qp_eff, bit_depth=bd,
+                              is_irap=irap)
+            cbf = bool(np.any(q))
+            if cbf:
+                if self.cfg.dep_quant:
+                    dq = tnp.dequant_dep(q, self.qp_eff, bit_depth=bd)
+                else:
+                    dq = tnp.dequant(q, self.qp_eff, bit_depth=bd)
+                r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
+                                         bit_depth=bd)
+                trecon = _clip_pel(tpred + r, bd)
+            else:
+                trecon = _clip_pel(tpred, bd)
+            active = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
+                      "cbf": cbf, "recon": trecon, "chroma": None,
+                      "sbt_active": True}
+            if self.chroma:
+                xc, yc = tx // 2, ty // 2
+                wc, hc = tw // 2, th // 2
+                pcb = self._motion_pred_chroma(xc, yc, wc, hc, mi, 0)
+                pcr = self._motion_pred_chroma(xc, yc, wc, hc, mi, 1)
+                ch, jmask = self._chroma_pair_eval(
+                    self.org_cb[yc:yc + hc, xc:xc + wc], pcb,
+                    self.org_cr[yc:yc + hc, xc:xc + wc], pcr,
+                    intra_cu=False)
+                active["chroma"] = ch
+                active["joint_cbcr"] = jmask
+            any_cbf = cbf or (active["chroma"] is not None
+                              and (active["chroma"][0][2]
+                                   or active["chroma"][1][2]))
+            if not any_cbf:
+                continue        # rootCbf must be 1 with SBT
+            # zero TU: reconstruction = prediction
+            zx, zy = (x, y)
+            if (tx, ty) == (x, y):
+                zx = x + (tw if sbt_idx in (1, 3) else 0)
+                zy = y + (0 if sbt_idx in (1, 3) else th)
+            zw = w - tw if sbt_idx in (1, 3) else w
+            zh = h if sbt_idx in (1, 3) else h - th
+            zpred = pred[zy - y:zy - y + zh, zx - x:zx - x + zw]
+            zero = {"x": zx, "y": zy, "w": zw, "h": zh, "q": None,
+                    "cbf": False,
+                    "recon": _clip_pel(zpred, bd), "chroma": None,
+                    "sbt_active": False}
+            if self.chroma:
+                zcb = self._motion_pred_chroma(zx // 2, zy // 2,
+                                               zw // 2, zh // 2, mi, 0)
+                zcr = self._motion_pred_chroma(zx // 2, zy // 2,
+                                               zw // 2, zh // 2, mi, 1)
+                zero["chroma"] = [(None, zcb, False, 0.0),
+                                  (None, zcr, False, 0.0)]
+            ssd = 0.0
+            for tu in (active, zero):
+                d = (self.org[tu["y"]:tu["y"] + tu["h"],
+                              tu["x"]:tu["x"] + tu["w"]]
+                     - tu["recon"]).astype(np.int64)
+                ssd += float((d * d).sum())
+                if tu["chroma"] is not None:
+                    for pi, plane in enumerate((self.org_cb,
+                                                self.org_cr)):
+                        cblk = plane[tu["y"] // 2:(tu["y"] + tu["h"])
+                                     // 2, tu["x"] // 2:
+                                     (tu["x"] + tu["w"]) // 2]
+                        dc = (cblk - tu["chroma"][pi][1]).astype(
+                            np.int64)
+                        ssd += float((dc * dc).sum())
+            tus = [active, zero] if (tx, ty) == (x, y) else [zero,
+                                                             active]
+            t = dict(base_trial)
+            t.update(tus=tus, ssd=ssd, sbt=(sbt_idx, pos),
+                     is_skip=False)
+            out.append(t)
+        return out
+
     def _geo_allowed(self, w, h):
         """geoAvailable gate (CABACWriter.cpp:1905): B slice, GPM cand
         count > 1, 8 <= w,h <= 64, w < 8h, h < 8w."""
@@ -2116,6 +2304,37 @@ class FrameEncoder:
         if code_last:
             enc.encode_bin_ep(0)
 
+    def _write_sbt_mode(self, w, h, trial):
+        """cu_sbt syntax (CABACWriter.cpp:1376), written after a
+        root cbf of 1; CIIP CUs never code SBT (checkAllowedSbt)."""
+        if trial.get("ciip"):
+            return
+        mask = self._sbt_allowed_mask(w, h)
+        if not mask:
+            return
+        enc = self.enc
+        sbt = trial.get("sbt")
+        ctx = 1 if w * h <= 256 else 0
+        enc.encode_bin(0 if sbt is None else 1, ctx_ids.SbtFlag[0] + ctx)
+        if sbt is None:
+            return
+        sbt_idx, sbt_pos = sbt
+        quad = sbt_idx in (3, 4)
+        horiz = sbt_idx in (2, 4)
+        half_any = bool(mask & 0b110)
+        quad_any = bool(mask & 0b11000)
+        if half_any and quad_any:
+            enc.encode_bin(1 if quad else 0, ctx_ids.SbtQuadFlag[0])
+        if quad:
+            both_dir = (mask >> 3) & 1 and (mask >> 4) & 1
+        else:
+            both_dir = (mask >> 1) & 1 and (mask >> 2) & 1
+        if both_dir:
+            dctx = 0 if w == h else (1 if w < h else 2)
+            enc.encode_bin(1 if horiz else 0,
+                           ctx_ids.SbtHorFlag[0] + dctx)
+        enc.encode_bin(sbt_pos, ctx_ids.SbtPosFlag[0])
+
     def _write_merge_idx(self, m_idx):
         enc = self.enc
         enc.encode_bin(0 if m_idx == 0 else 1, ctx_ids.MergeIdx[0])
@@ -2215,14 +2434,23 @@ class FrameEncoder:
         self._write_skip_predmode(x, y, w, h, is_intra=False)
         enc.encode_bin(1, ctx_ids.MergeFlag[0])
         self._write_merge_data(trial, w, h)
-        # merge -> rootCbf inferred 1; transform_unit
+        # merge -> rootCbf inferred 1; sbt_mode; transform_unit
+        self._write_sbt_mode(w, h, trial)
         self._write_inter_tu(trial)
 
     def _write_inter_tu(self, trial):
         """Inter transform_tree: single TU at trDepth 0 -> luma cbf
         inferred 1 when no chroma cbf (rootCbf constraint); multi-TU
-        CUs (TU_MAX_TR_SPLIT, trDepth 1) always signal luma cbf."""
+        CUs (TU_MAX_TR_SPLIT, trDepth 1) always signal luma cbf. SBT:
+        only the residual TU codes anything; its luma cbf is inferred
+        1 when it has no chroma cbfs (CABACWriter.cpp:2446-2461)."""
         tus = trial["tus"]
+        if "sbt" in trial:
+            active = next(t for t in tus if t.get("sbt_active"))
+            ch = active["chroma"]
+            sig_chroma = ch is not None and (ch[0][2] or ch[1][2])
+            self._write_tu(active, infer_luma_cbf=not sig_chroma)
+            return
         if len(tus) == 1:
             tu = tus[0]
             ch = tu["chroma"]
@@ -2292,6 +2520,7 @@ class FrameEncoder:
             for t in trial["tus"])
         enc.encode_bin(1 if root_cbf else 0, ctx_ids.QtRootCbf[0])
         if root_cbf:
+            self._write_sbt_mode(w, h, trial)
             self._write_inter_tu(trial)
 
     # ------------------------------------------------------------------

@@ -53,6 +53,12 @@ class DeblockInfo:
     mv1: np.ndarray | None = None        # L1
     ref_poc1: np.ndarray | None = None
     slice_is_b: bool = False
+    # explicit transform-unit geometry (SBT, implicit max-TB tiling);
+    # when absent, TUs are the CUs tiled to 64
+    tu_x0: np.ndarray | None = None
+    tu_y0: np.ndarray | None = None
+    tu_w: np.ndarray | None = None
+    tu_h: np.ndarray | None = None
 
     def at(self, x, y):
         return y // 4, x // 4
@@ -391,14 +397,27 @@ def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
         for ctx in range(0, W, ctu_size):
             out = []
             _cu_coding_order(info, ctx, cty, ctu_size, ctu_size, out)
-            # CUs larger than the max transform size carry implicit
-            # 64x64 TU tiles; deblocking edges follow TU boundaries
+            # deblocking edges follow TU boundaries: use the explicit
+            # TU geometry when present (SBT, implicit max-TB tiling),
+            # else tile CUs to 64
             tus = []
             for (cx, cy, cw, chh) in out:
-                tw, th = min(cw, 64), min(chh, 64)
-                for ty in range(cy, cy + chh, th):
-                    for tx in range(cx, cx + cw, tw):
-                        tus.append((tx, ty, tw, th))
+                if info.tu_x0 is not None:
+                    seen = set()
+                    for gy in range(cy // 4, (cy + chh) // 4):
+                        for gx in range(cx // 4, (cx + cw) // 4):
+                            r = (int(info.tu_x0[gy, gx]),
+                                 int(info.tu_y0[gy, gx]),
+                                 int(info.tu_w[gy, gx]),
+                                 int(info.tu_h[gy, gx]))
+                            if r not in seen and r[2] > 0:
+                                seen.add(r)
+                                tus.append(r)
+                else:
+                    tw, th = min(cw, 64), min(chh, 64)
+                    for ty in range(cy, cy + chh, th):
+                        for tx in range(cx, cx + cw, tw):
+                            tus.append((tx, ty, tw, th))
             cu_lists[(ctx, cty)] = tus
 
     for hor in (False, True):        # vertical pass first, then horizontal
@@ -435,8 +454,14 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         gq = info.at(px, py)
         gp = info.at(px - (0 if hor else 4), py - (4 if hor else 0))
         # transform-block size on each side (CUs > 64 tile into 64)
-        size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]), 64)
-        size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]), 64)
+        if info.tu_w is not None:
+            size_q = int(info.tu_h[gq] if hor else info.tu_w[gq])
+            size_p = int(info.tu_h[gp] if hor else info.tu_w[gp])
+        else:
+            size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]),
+                         64)
+            size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]),
+                         64)
         small = size_p <= 4 or size_q <= 4
         max_q = 1 if small else (7 if size_q >= 32 else 3)
         max_p = 1 if small else (7 if size_p >= 32 else 3)
@@ -530,8 +555,14 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         gq = info.at(px, py)
         gp = info.at(px - (0 if hor else 4), py - (4 if hor else 0))
         # chroma sizes in chroma samples
-        size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]), 64) // 2
-        size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]), 64) // 2
+        if info.tu_w is not None:
+            size_q = int(info.tu_h[gq] if hor else info.tu_w[gq]) // 2
+            size_p = int(info.tu_h[gp] if hor else info.tu_w[gp]) // 2
+        else:
+            size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]),
+                         64) // 2
+            size_p = min(int(info.cu_h[gp] if hor else info.cu_w[gp]),
+                         64) // 2
         max_len = 3 if (size_q >= 8 and size_p >= 8) else 1
         large_boundary = max_len >= 3
         chroma_hor_ctb = hor and (py % ctu_size) == 0
