@@ -199,6 +199,7 @@ class _Maps:
         self.tu_y0 = np.zeros(shp, np.int32)
         self.tu_w = np.zeros(shp, np.int32)
         self.tu_h = np.zeros(shp, np.int32)
+        self.qp = np.zeros(shp, np.int32)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -319,6 +320,23 @@ class FrameEncoder:
         self.cfg = cfg
         self.num_mode_cands = num_mode_cands
         self.me_range = me_range
+
+    def _set_cu_qp(self, qp):
+        """Set the active QP (per CTU with cu-delta-QP)."""
+        bd = self.cfg.bit_depth
+        self.qp = qp
+        self.qp_eff = qp + 6 * (bd - 8)
+        ctab = chroma_qp_table(bd)
+        self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
+        self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+
+    def _predict_qg_qp(self, x, y):
+        """CU::predictQP (UnitTools.cpp:300) for a QG == CTU at its
+        origin: left-picture-edge CTUs predict from the CU above,
+        everything else from the previous QG's QP."""
+        if x == 0 and y > 0:
+            return int(self.maps.qp[(y - 1) // 4, 0])
+        return self.prev_qg_qp
 
     def _pc(self, slice_type):
         cfg = self.cfg
@@ -445,12 +463,11 @@ class FrameEncoder:
                 self.me_hints[(1, ridx)] = me_batch.MeHints(
                     org_y.astype(np.int32), self.refs_l1[ridx][1],
                     self.me_range)
-        self.qp = qp
         bd = cfg.bit_depth
-        self.qp_eff = qp + 6 * (bd - 8)
-        ctab = chroma_qp_table(bd)
-        self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
-        self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        self._set_cu_qp(qp)
+        self.slice_qp = qp
+        self.prev_qg_qp = qp
+        self.ctu_qp_log = {}      # (x, y) -> (qp, predQP) for replay
 
         ctx_slice = {hls.I_SLICE: contexts.I_SLICE,
                      hls.P_SLICE: contexts.P_SLICE,
@@ -465,11 +482,31 @@ class FrameEncoder:
         enc = native.OpRecorder() if use_native else cabac.CabacEncoder(bank)
         self.enc = enc
 
+        ctu_qp_fn = getattr(self, "ctu_qp_fn", None)
         for y in range(0, H, cs):
             self.hmvp = []     # HMVP reset at each CTU row
             for x in range(0, W, cs):
+                if cfg.cu_qp_delta:
+                    if ctu_qp_fn is None:
+                        ctu_qp = qp
+                    else:
+                        bits = _EncState.bits(enc) \
+                            if isinstance(enc, cabac.CabacEncoder) \
+                            else len(enc.to_array()) // 4
+                        ctu_qp = int(ctu_qp_fn(x, y, bits))
+                    self.dqp_coded = False
+                    self.qg_pred = self._predict_qg_qp(x, y)
+                    self._set_cu_qp(ctu_qp)
                 self._compress_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                   None)
+                if cfg.cu_qp_delta:
+                    # no coded delta -> the decoder infers qp = predQP
+                    eff = self.qp if self.dqp_coded else self.qg_pred
+                    self.maps.qp[y // 4:(y + cs) // 4,
+                                 x // 4:(x + cs) // 4] = eff
+                    self.ctu_qp_log[(x, y)] = (self.qp, self.qg_pred,
+                                               self.dqp_coded)
+                    self.prev_qg_qp = eff
 
         if cfg.deblocking:
             from ..ops import deblock
@@ -480,6 +517,10 @@ class FrameEncoder:
                 m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
                 slice_is_b=self.slice_type == hls.B_SLICE,
                 tu_x0=m.tu_x0, tu_y0=m.tu_y0, tu_w=m.tu_w, tu_h=m.tu_h)
+            if cfg.cu_qp_delta:
+                info.qp_map = m.qp
+                info.chroma_tab = chroma_qp_table(bd) if self.chroma \
+                    else None
             qp_c_for_db = int(chroma_qp_table(bd)[qp + 6 * (bd - 8)]) \
                 if self.chroma else qp
             deblock.deblock_frame(
@@ -615,13 +656,18 @@ class FrameEncoder:
         cfg = self.cfg
         H, W = self.org.shape
         cs = cfg.ctu_size
-        bank = contexts.init_bank(ctx_slice, self.qp)
+        bank = contexts.init_bank(ctx_slice, self.slice_qp)
         use_native = native.get_lib() is not None
         enc = native.OpRecorder() if use_native else \
             cabac.CabacEncoder(bank)
         self.enc = enc
         for y in range(0, H, cs):
             for x in range(0, W, cs):
+                if cfg.cu_qp_delta:
+                    qpc, pred, _ = self.ctu_qp_log[(x, y)]
+                    self._set_cu_qp(qpc)
+                    self.qg_pred = pred
+                    self.dqp_coded = False
                 if sao_params is not None:
                     from ..ops import sao as sao_ops
                     sao_ops.write_sao_ctu(
@@ -779,7 +825,8 @@ class FrameEncoder:
     def _save_region(self, x, y, w, h):
         out = [self.recon[y:y + h, x:x + w].copy(),
                self.maps.region(x, y, w, h), list(self.hmvp),
-               self._log_region(x, y, w, h)]
+               self._log_region(x, y, w, h),
+               getattr(self, "dqp_coded", False)]
         if self.chroma:
             out.append(self.recon_cb[y // 2:(y + h) // 2,
                                      x // 2:(x + w) // 2].copy())
@@ -795,9 +842,10 @@ class FrameEncoder:
             if x <= k[0] < x + w and y <= k[1] < y + h:
                 del self.cu_log[k]
         self.cu_log.update(saved[3])
+        self.dqp_coded = saved[4]
         if self.chroma:
-            self.recon_cb[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[4]
-            self.recon_cr[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[5]
+            self.recon_cb[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[5]
+            self.recon_cr[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = saved[6]
 
     def _region_ssd(self, x, y, w, h) -> float:
         d = (self.org[y:y + h, x:x + w]
@@ -1199,14 +1247,20 @@ class FrameEncoder:
         base_len = len(enc.out)
         base_state = _EncState.save(enc, base_len)
         base_bits = _EncState.bits(enc)
+        base_dqp = getattr(self, "dqp_coded", False)
         best = None
+        best_dqp = base_dqp
 
         def consider(kind, trial):
-            nonlocal best
+            nonlocal best, best_dqp
             cost = trial["ssd"] + self.lam * (_EncState.bits(enc)
                                               - base_bits)
             if best is None or cost < best[0]:
                 best = (cost, kind, trial, _EncState.save(enc, base_len))
+                best_dqp = self.dqp_coded if self.cfg.cu_qp_delta \
+                    else base_dqp
+            if self.cfg.cu_qp_delta:
+                self.dqp_coded = base_dqp
             _EncState.restore(enc, base_state)
 
         # ----- intra candidates -----
@@ -1309,6 +1363,8 @@ class FrameEncoder:
 
         cost, kind, trial, end_state = best
         _EncState.restore(enc, end_state)
+        if self.cfg.cu_qp_delta:
+            self.dqp_coded = best_dqp
         if kind == "intra":
             self._commit_intra(x, y, w, h, qt_depth, trial)
         elif "geo" in trial:
@@ -2197,6 +2253,11 @@ class FrameEncoder:
                            ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
         if not infer_luma_cbf:
             enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
+        luma_cbf_eff = tu["cbf"] if not infer_luma_cbf else tu["cbf"]
+        if self.cfg.cu_qp_delta and not self.dqp_coded and \
+                (luma_cbf_eff or cbf_cb or cbf_cr
+                 or getattr(self, "cu_gt64", False)):
+            self._write_cu_qp_delta()
         if self.chroma and self.cfg.joint_cbcr:
             mask = (2 if cbf_cb else 0) + (1 if cbf_cr else 0)
             if (is_intra and mask) or mask == 3:
@@ -2226,6 +2287,7 @@ class FrameEncoder:
 
     def _write_leaf_intra(self, x, y, w, h, trial):
         enc = self.enc
+        self.cu_gt64 = w > 64 or h > 64
         if self.slice_type != hls.I_SLICE:
             self._write_skip_predmode(x, y, w, h, is_intra=True)
         mrl = trial.get("mrl", 0)
@@ -2303,6 +2365,34 @@ class FrameEncoder:
             enc.encode_bin_ep(1)
         if code_last:
             enc.encode_bin_ep(0)
+
+    def _write_cu_qp_delta(self):
+        """cu_qp_delta parity (CABACWriter.cpp:2555): wrapped delta,
+        truncated unary (cmax 5) + EG0 + sign."""
+        enc = self.enc
+        dqp = self.qp - self.qg_pred
+        qp_bd = 6 * (self.cfg.bit_depth - 8)
+        dqp = (dqp + 64 + 32 + qp_bd + qp_bd // 2) % (64 + qp_bd) \
+            - 32 - qp_bd // 2
+        a = abs(dqp)
+        sym = min(a, 5)
+        total = min(sym + 1, 5)
+        for i in range(total):
+            enc.encode_bin(1 if sym > i else 0,
+                           ctx_ids.DeltaQP[0] + (0 if i == 0 else 1))
+        if a >= 5:
+            # exp_golomb_eqprob k=0
+            v = a - 5
+            grp = (v + 1).bit_length() - 1
+            for _ in range(grp):
+                enc.encode_bin_ep(1)
+            enc.encode_bin_ep(0)
+            rem = v + 1 - (1 << grp)
+            for i in range(grp - 1, -1, -1):
+                enc.encode_bin_ep((rem >> i) & 1)
+        if a > 0:
+            enc.encode_bin_ep(1 if dqp < 0 else 0)
+        self.dqp_coded = True
 
     def _write_sbt_mode(self, w, h, trial):
         """cu_sbt syntax (CABACWriter.cpp:1376), written after a
@@ -2426,6 +2516,7 @@ class FrameEncoder:
 
     def _write_leaf_merge(self, x, y, w, h, trial):
         enc = self.enc
+        self.cu_gt64 = w > 64 or h > 64
         if trial["is_skip"]:
             self._write_skip_predmode(x, y, w, h, is_intra=False,
                                       skip=True)
@@ -2462,6 +2553,7 @@ class FrameEncoder:
 
     def _write_leaf_inter(self, x, y, w, h, trial):
         enc = self.enc
+        self.cu_gt64 = w > 64 or h > 64
         mi = trial["mi"]
         sig = trial["sig"]
         self._write_skip_predmode(x, y, w, h, is_intra=False)

@@ -82,6 +82,14 @@ class SequenceEncoder:
                 self.intra_period > 0 and poc % self.intra_period == 0)
             if self.rate_control is not None:
                 qp = self.rate_control.qp_for_frame(is_intra)
+                if cfg.cu_qp_delta:
+                    n_ctus = cfg.pic_width_in_ctus \
+                        * cfg.pic_height_in_ctus
+                    self.rate_control.start_frame(
+                        qp, n_ctus, cfg.ctu_size * cfg.ctu_size)
+                    rc = self.rate_control
+                    self.frame_encoder.ctu_qp_fn = \
+                        lambda x, y, bits: rc.qp_for_ctu(bits)
             if is_intra:
                 r = self.frame_encoder.encode_frame(
                     frame, poc=poc, qp=qp, slice_type=hls.I_SLICE)

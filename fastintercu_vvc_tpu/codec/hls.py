@@ -105,6 +105,7 @@ class SeqConfig:
     max_geo_cand: int = 5
     max_affine_merge_cand: int = 5
     # misc
+    cu_qp_delta: bool = False     # per-QG (CTU) delta QP
     picture_hash: bool = False    # suffix-SEI MD5 per picture
     log2_max_poc_lsb: int = 8
     qp: int = 32                  # pps_init_qp
@@ -306,7 +307,7 @@ def write_pps(cfg: SeqConfig) -> bytes:
     w.write_flag(0)                     # pps_weighted_bipred_flag
     w.write_flag(0)                     # pps_ref_wraparound_enabled_flag
     w.write_svlc(cfg.qp - 26)           # pps_init_qp_minus26
-    w.write_flag(0)                     # pps_cu_qp_delta_enabled_flag
+    w.write_flag(1 if cfg.cu_qp_delta else 0)  # pps_cu_qp_delta_enabled_flag
     w.write_flag(1 if cfg.chroma_enabled else 0)  # pps_chroma_tool_offsets_present_flag
     if cfg.chroma_enabled:
         w.write_svlc(0)                 # pps_cb_qp_offset
@@ -369,9 +370,12 @@ def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
     # ALF off, LMCS off, scaling lists off, virtual boundaries off,
     # output flag not present, rpl not in ph (no_pic_partition)
     if intra_only:
-        pass                            # pps_cu_qp_delta off -> nothing
+        if cfg.cu_qp_delta:
+            w.write_uvlc(0)             # ph_cu_qp_delta_subdiv_intra_slice
     else:
-        # split-override absent; pps_cu_qp_delta off; chroma offsets off
+        # split-override absent; chroma offsets off
+        if cfg.cu_qp_delta:
+            w.write_uvlc(0)             # ph_cu_qp_delta_subdiv_inter_slice
         if cfg.temporal_mvp:
             w.write_flag(1)             # ph_temporal_mvp_enabled_flag
         # rpl in SH -> ph_mvd_l1_zero_flag present

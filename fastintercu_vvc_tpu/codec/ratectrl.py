@@ -64,3 +64,34 @@ class RateController:
         self.beta += self.BETA_UPDATE * d * math.log(bpp_real)
         self.alpha = min(max(self.alpha, 0.05), 500.0)
         self.beta = min(max(self.beta, -3.0), -0.1)
+
+    # ---- CTU-level allocation (EncRCPic::getLCUTargetBpp /
+    # updateAfterCTU analogue, RateCtrl.cpp:1002,1136) ----
+    def start_frame(self, frame_qp: int, num_ctus: int,
+                    ctu_pixels: int):
+        """Begin CTU-level allocation for one picture; the frame
+        target is the allocation chosen by qp_for_frame."""
+        self._frame_qp = frame_qp
+        self._num_ctus = num_ctus
+        self._ctu_pixels = ctu_pixels
+        self._frame_target = getattr(self, "_pending_target",
+                                     self.avg_bits)
+        self._ctu_idx = 0
+        self._last_ctu_qp = frame_qp
+
+    def qp_for_ctu(self, bits_spent: int) -> int:
+        """QP for the next CTU from the remaining-bit budget: bpp ->
+        R-lambda -> QP, clipped to +-1 of the previous CTU and +-2 of
+        the picture QP (EncRCPic::getLCUEstLambdaAndQP clip rules)."""
+        left = max(self._num_ctus - self._ctu_idx, 1)
+        remaining = max(self._frame_target - bits_spent,
+                        0.1 * self._frame_target * left / self._num_ctus)
+        bpp = remaining / left / self._ctu_pixels
+        lam = min(max(self.alpha * (bpp ** self.beta), 0.1), 10000.0)
+        qp = int(round(4.2005 * math.log(lam) + 13.7122))
+        qp = min(max(qp, self._last_ctu_qp - 1), self._last_ctu_qp + 1)
+        qp = min(max(qp, self._frame_qp - 2), self._frame_qp + 2)
+        qp = min(max(qp, self.min_qp), self.max_qp)
+        self._last_ctu_qp = qp
+        self._ctu_idx += 1
+        return qp

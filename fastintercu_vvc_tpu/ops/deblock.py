@@ -59,6 +59,10 @@ class DeblockInfo:
     tu_y0: np.ndarray | None = None
     tu_w: np.ndarray | None = None
     tu_h: np.ndarray | None = None
+    # per-4x4 luma QP (cu-delta-QP streams); None -> the scalar qp arg
+    qp_map: np.ndarray | None = None
+    # chroma QP mapping table indexed by qp + 6*(bd-8) (for qp_map)
+    chroma_tab: np.ndarray | None = None
 
     def at(self, x, y):
         return y // 4, x // 4
@@ -470,9 +474,13 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         if hor and (py % ctu_size) == 0:
             side_p_large = False
 
-        idx_tc = min(max(qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1), 0),
+        if info.qp_map is not None:
+            qp_ed = (int(info.qp_map[gp]) + int(info.qp_map[gq]) + 1) >> 1
+        else:
+            qp_ed = qp
+        idx_tc = min(max(qp_ed + DEFAULT_INTRA_TC_OFFSET * (bs - 1), 0),
                      MAX_QP + DEFAULT_INTRA_TC_OFFSET)
-        idx_b = min(max(qp, 0), MAX_QP)
+        idx_b = min(max(qp_ed, 0), MAX_QP)
         bit_depth = clip_hi.bit_length()
         tc = (int(TC_TABLE[idx_tc]) << (bit_depth - 10)) if bit_depth >= 10 \
             else ((int(TC_TABLE[idx_tc]) + (1 << (9 - bit_depth)))
@@ -568,11 +576,17 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         chroma_hor_ctb = hor and (py % ctu_size) == 0
         xc, yc = px // 2, py // 2
         bit_depth = clip_hi.bit_length()
+        if info.qp_map is not None:
+            avg = (int(info.qp_map[gp]) + int(info.qp_map[gq]) + 1) >> 1
+            bd_off = 6 * (clip_hi.bit_length() - 8)
+            qp_c_ed = int(info.chroma_tab[avg + bd_off])
+        else:
+            qp_c_ed = qp_c
         for ci, (plane, bs) in enumerate(((rcb, bs_cb), (rcr, bs_cr))):
             if not (bs == 2 or (large_boundary and bs == 1)):
                 continue
-            idx_tc = min(max(qp_c + DEFAULT_INTRA_TC_OFFSET * (bs - 1), 0),
-                         MAX_QP + DEFAULT_INTRA_TC_OFFSET)
+            idx_tc = min(max(qp_c_ed + DEFAULT_INTRA_TC_OFFSET * (bs - 1),
+                             0), MAX_QP + DEFAULT_INTRA_TC_OFFSET)
             tc = (int(TC_TABLE[idx_tc]) << (bit_depth - 10)) \
                 if bit_depth >= 10 else \
                 ((int(TC_TABLE[idx_tc]) + (1 << (9 - bit_depth)))
@@ -585,7 +599,7 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
 
             use_long = False
             if large_boundary:
-                idx_b = min(max(qp_c, 0), MAX_QP)
+                idx_b = min(max(qp_c_ed, 0), MAX_QP)
                 beta = int(BETA_TABLE[idx_b]) * bdscale
                 c0 = cline(0)
                 c1 = cline(1)      # subsampling shift 1 -> second line
