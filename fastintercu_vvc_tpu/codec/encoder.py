@@ -302,6 +302,20 @@ class _Maps:
         return self.motion(x, y)
 
 
+class _WppMaps:
+    """Motion-field view applying the WPP wavefront availability
+    bound (getCURestricted, CodingStructure.cpp:1693)."""
+
+    def __init__(self, maps, xmax):
+        self._maps = maps
+        self._xmax = xmax
+
+    def get(self, x, y):
+        if x >= self._xmax:
+            return None
+        return self._maps.get(x, y)
+
+
 class FrameEncoder:
     """Encodes I/P frames with QTMT partition search."""
 
@@ -329,6 +343,12 @@ class FrameEncoder:
         ctab = chroma_qp_table(bd)
         self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
         self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+
+    def _mf(self):
+        """Motion-field neighbor view (WPP-restricted when active)."""
+        if self.wpp_xmax is None:
+            return self.maps
+        return _WppMaps(self.maps, self.wpp_xmax)
 
     def _predict_qg_qp(self, x, y):
         """CU::predictQP (UnitTools.cpp:300) for a QG == CTU at its
@@ -464,6 +484,7 @@ class FrameEncoder:
                     org_y.astype(np.int32), self.refs_l1[ridx][1],
                     self.me_range)
         bd = cfg.bit_depth
+        self.wpp_xmax = None
         self._set_cu_qp(qp)
         self.slice_qp = qp
         self.prev_qg_qp = qp
@@ -486,6 +507,10 @@ class FrameEncoder:
         for y in range(0, H, cs):
             self.hmvp = []     # HMVP reset at each CTU row
             for x in range(0, W, cs):
+                if cfg.wpp:
+                    # wavefront availability bound: neighbors at or
+                    # beyond the next CTU column are unavailable
+                    self.wpp_xmax = x + cs
                 if cfg.cu_qp_delta:
                     if ctu_qp_fn is None:
                         ctu_qp = qp
@@ -556,7 +581,11 @@ class FrameEncoder:
                                 a_tr, cs, bd)
             alf_dec = (ctb_on, ctb_set)
 
-        if sao_params is not None or alf_dec is not None or self.two_pass:
+        if cfg.wpp:
+            payload, tail = self._replay_frame_wpp(ctx_slice,
+                                                   sao_params, alf_dec)
+        elif sao_params is not None or alf_dec is not None \
+                or self.two_pass:
             # final entropy pass: replay the committed syntax (VTM
             # EncSlice::encodeSlice analogue) — required once loop-
             # filter syntax (sao) precedes each CTU, and runs the
@@ -684,6 +713,81 @@ class FrameEncoder:
         if use_native:
             return native.cabac_run(enc.to_array(), bank)
         return enc.finish(), enc.tail_bits()
+
+    def _replay_frame_wpp(self, ctx_slice, sao_params=None,
+                          alf_dec=None):
+        """WPP final entropy pass: one CABAC substream per CTU row,
+        contexts synced from the state after the first CTU of the row
+        above (EncSlice::encodeCtus ctx save/restore,
+        EncSlice.cpp:1580,1719; substream assembly :1905). Entry-point
+        offsets are not signalled (sps_entry_point_offsets_present 0) —
+        substreams are byte-aligned and parsed sequentially."""
+        assert not self.cfg.cu_qp_delta, \
+            "WPP + cu_qp_delta QG reset not implemented"
+        from ..utils.bitstream import BitWriter
+        cfg = self.cfg
+        H, W = self.org.shape
+        cs = cfg.ctu_size
+        bank = contexts.init_bank(ctx_slice, self.slice_qp)
+        use_native = native.get_lib() is not None
+        snap = None
+        chunks = []
+        for y in range(0, H, cs):
+            if y > 0 and snap is not None:
+                bank.state0[:] = snap[0]
+                bank.state1[:] = snap[1]
+            row_start = (bank.state0.copy(), bank.state1.copy())
+            enc = native.OpRecorder() if use_native else \
+                cabac.CabacEncoder(bank)
+            self.enc = enc
+            first_len = None
+            for x in range(0, W, cs):
+                if sao_params is not None:
+                    from ..ops import sao as sao_ops
+                    sao_ops.write_sao_ctu(
+                        enc, sao_params, x // cs, y // cs,
+                        self.chroma, cfg.bit_depth)
+                if alf_dec is not None:
+                    from ..ops import alf as alf_ops
+                    alf_ops.write_alf_ctu(enc, alf_dec[0], x // cs,
+                                          y // cs, alf_dec[1],
+                                          self.chroma)
+                self._replay_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
+                                None)
+                if x == 0:
+                    if use_native:
+                        first_len = sum(len(pp) for pp in enc._parts) \
+                            + len(enc._cur)
+                    else:
+                        snap = (bank.state0.copy(), bank.state1.copy())
+            enc.encode_bin_trm(1)     # end_of_subset_one_bit
+            if use_native:
+                ops = enc.to_array()
+                # ctx snapshot after the first CTU: context evolution
+                # depends only on the (ctx, bin) sequence
+                s0, s1 = row_start
+                tmp = contexts.init_bank(ctx_slice, self.slice_qp)
+                tmp.state0[:] = s0
+                tmp.state1[:] = s1
+                for op in ops[:first_len]:
+                    op = int(op)
+                    if (op >> 28) == 0:
+                        tmp.update((op >> 1) & 0x7FFFFFF, op & 1)
+                snap = (tmp.state0.copy(), tmp.state1.copy())
+                payload, tail = native.cabac_run(ops, bank)
+            else:
+                payload, tail = enc.finish(), enc.tail_bits()
+            chunks.append((payload, tail))
+        w = BitWriter()
+        for payload, tail in chunks[:-1]:
+            w.append_bytes(payload)
+            val, nbits = tail
+            if nbits:
+                w.write(val, nbits)
+            w.write_byte_alignment()
+        head = w.get_bytes()
+        last_payload, last_tail = chunks[-1]
+        return head + last_payload, last_tail
 
     def _replay_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
                    tt_mid):
@@ -1028,7 +1132,7 @@ class FrameEncoder:
         for plane_o, plane_r in ((self.org_cb, self.recon_cb),
                                  (self.org_cr, self.recon_cr)):
             top, left = intra.build_refs_grid(plane_r, xc, yc, wc, hc,
-                                              bd, self.maps.coded, sub=2)
+                                              bd, self.maps.coded, sub=2, xmax=self.wpp_xmax)
             preds.append(intra.predict(luma_mode, top, left, wc, hc, bd,
                                        chroma=True))
             blks.append(plane_o[yc:yc + hc, xc:xc + wc])
@@ -1046,6 +1150,8 @@ class FrameEncoder:
         def unit_ok(cx, cy):
             lx, ly = 2 * cx, 2 * cy
             if lx < 0 or ly < 0 or lx // 4 >= m.gw or ly // 4 >= m.gh:
+                return False
+            if self.wpp_xmax is not None and lx >= self.wpp_xmax:
                 return False
             return bool(m.coded[ly // 4, lx // 4])
 
@@ -1183,7 +1289,7 @@ class FrameEncoder:
         mv = (inter.mv_round_to_quarter(mv[0]),
               inter.mv_round_to_quarter(mv[1]))
         merge_cands = inter.get_merge_candidates(
-            self.maps, self.hmvp, x, y, w, h, self.n_act0,
+            self._mf(), self.hmvp, x, y, w, h, self.n_act0,
             num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
         m_idx = mi = None
         for i, c in enumerate(merge_cands):
@@ -1195,7 +1301,7 @@ class FrameEncoder:
             self._write_leaf_merge(x, y, w, h, trial)
         else:
             mvps = inter.fill_mvp_cands(
-                self.maps, self.hmvp, x, y, w, h, self.ref_pocs, 0,
+                self._mf(), self.hmvp, x, y, w, h, self.ref_pocs, 0,
                 target_list=0, ref_poc_list1=self.ref_pocs_l1,
                 tmvp=self.tmvp_ctx)
 
@@ -1266,7 +1372,7 @@ class FrameEncoder:
         # ----- intra candidates -----
         top, left = intra.build_refs_grid(self.recon, x, y, w, h,
                                           self.cfg.bit_depth,
-                                          self.maps.coded)
+                                          self.maps.coded, xmax=self.wpp_xmax)
         mpm = self._mpms(x, y, w, h)
         cands, preds = self._mode_candidates(blk, top, left, w, h, mpm)
         for m in cands:
@@ -1280,9 +1386,8 @@ class FrameEncoder:
         if self.cfg.mrl and (y % self.cfg.ctu_size) != 0 \
                 and w <= 64 and h <= 64:
             for k in (1, 2):
-                tk, lk = intra.build_refs_grid(
-                    self.recon, x, y, w, h, self.cfg.bit_depth,
-                    self.maps.coded, mrl=k)
+                tk, lk = intra.build_refs_grid(self.recon, x, y, w, h, self.cfg.bit_depth,
+                    self.maps.coded, mrl=k, xmax=self.wpp_xmax)
                 best_m, best_sad, best_pred = None, None, None
                 for m in mpm[1:]:
                     if m == intra.PLANAR_IDX:
@@ -1306,7 +1411,7 @@ class FrameEncoder:
                 consider("inter", it)
 
             merge_cands = inter.get_merge_candidates(
-                self.maps, self.hmvp, x, y, w, h, self.n_act0,
+                self._mf(), self.hmvp, x, y, w, h, self.n_act0,
                 num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
             seen = set()
             for m_idx, mi in enumerate(merge_cands):
@@ -1481,7 +1586,7 @@ class FrameEncoder:
         if pred is None:
             top, left = intra.build_refs_grid(self.recon, x, y, w, h,
                                               self.cfg.bit_depth,
-                                              self.maps.coded, mrl=mrl)
+                                              self.maps.coded, mrl=mrl, xmax=self.wpp_xmax)
             pred = intra.predict(mode, top, left, w, h,
                                  self.cfg.bit_depth, mrl=mrl)
         q, recon, cbf = self._tq(blk, pred, self.qp_eff)
@@ -1554,7 +1659,7 @@ class FrameEncoder:
         for (dx, dy, tw, th) in tiles:
             tx, ty = x + dx, y + dy
             top, left = intra.build_refs_grid(self.recon, tx, ty, tw, th,
-                                              bd, self.maps.coded)
+                                              bd, self.maps.coded, xmax=self.wpp_xmax)
             pred = intra.predict(mode, top, left, tw, th, bd)
             tblk = self.org[ty:ty + th, tx:tx + tw]
             q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
@@ -1598,7 +1703,7 @@ class FrameEncoder:
         if not refs:
             return None
         ref_plane = refs[ridx][1]
-        mvps = inter.fill_mvp_cands(self.maps, self.hmvp, x, y, w, h,
+        mvps = inter.fill_mvp_cands(self._mf(), self.hmvp, x, y, w, h,
                                     self.ref_pocs, ridx, target_list=lst,
                                     ref_poc_list1=self.ref_pocs_l1,
                                     tmvp=self.tmvp_ctx)
@@ -1739,7 +1844,7 @@ class FrameEncoder:
         dropped (imv would be inferred 0 and the MVP grid would
         mismatch)."""
         mvps = inter.fill_mvp_cands(
-            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, ridx,
+            self._mf(), self.hmvp, x, y, w, h, self.ref_pocs, ridx,
             target_list=lst, ref_poc_list1=self.ref_pocs_l1,
             tmvp=self.tmvp_ctx, imv=imv)
         shift = inter.AMVR_SHIFT[imv]
@@ -1819,11 +1924,11 @@ class FrameEncoder:
         sr0, sr1 = self.smvd_refs
         bd = self.cfg.bit_depth
         mvps0 = inter.fill_mvp_cands(
-            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, sr0,
+            self._mf(), self.hmvp, x, y, w, h, self.ref_pocs, sr0,
             target_list=0, ref_poc_list1=self.ref_pocs_l1,
             tmvp=self.tmvp_ctx)
         mvps1 = inter.fill_mvp_cands(
-            self.maps, self.hmvp, x, y, w, h, self.ref_pocs, sr1,
+            self._mf(), self.hmvp, x, y, w, h, self.ref_pocs, sr1,
             target_list=1, ref_poc_list1=self.ref_pocs_l1,
             tmvp=self.tmvp_ctx)
         if r0_l0 is not None and r0_l0[3] == sr0:
@@ -2187,7 +2292,7 @@ class FrameEncoder:
 
         inter_p = self._motion_pred_luma(x, y, w, h, mi)
         top, left = intra.build_refs_grid(self.recon, x, y, w, h, bd,
-                                          self.maps.coded)
+                                          self.maps.coded, xmax=self.wpp_xmax)
         intra_p = intra.predict(0, top, left, w, h, bd)
         pred = (w_merge * inter_p.astype(np.int64)
                 + w_intra * intra_p.astype(np.int64) + 2) >> 2
@@ -2202,8 +2307,7 @@ class FrameEncoder:
                     ((self.org_cb, self.recon_cb),
                      (self.org_cr, self.recon_cr))):
                 ip = self._motion_pred_chroma(xc, yc, wc, hc, mi, pi)
-                ctop, cleft = intra.build_refs_grid(
-                    plane_r, xc, yc, wc, hc, bd, self.maps.coded, sub=2)
+                ctop, cleft = intra.build_refs_grid(plane_r, xc, yc, wc, hc, bd, self.maps.coded, sub=2, xmax=self.wpp_xmax)
                 ap = intra.predict(0, ctop, cleft, wc, hc, bd,
                                    chroma=True)
                 cpred = (w_merge * ip.astype(np.int64)

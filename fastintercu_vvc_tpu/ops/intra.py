@@ -179,11 +179,16 @@ def build_refs(recon: np.ndarray, x: int, y: int, w: int, h: int,
 
 def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
                     bit_depth: int, coded: np.ndarray, sub: int = 1,
-                    mrl: int = 0):
+                    mrl: int = 0, xmax: int | None = None):
     """Vectorized build_refs against a per-4x4-luma-unit coded grid
     (the encoder maps). sub=2 for chroma planes (availability is read
     at luma resolution). Bit-identical to build_refs with the encoder
     availability mask.
+
+    xmax: exclusive luma-x availability bound (the WPP wavefront
+    restriction, CodingStructure::getCURestricted,
+    CodingStructure.cpp:1693 — neighbors at or beyond the next CTU
+    column are unavailable).
 
     mrl > 0: line-k references (xFillReferenceSamples with
     multiRefIdx, IntraPrediction.cpp:991-1019) — top/left grow by k,
@@ -197,6 +202,8 @@ def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
         lx = pxs * sub
         ly = pys * sub
         ok = (pxs >= 0) & (pys >= 0) & (lx // 4 < gw) & (ly // 4 < gh)
+        if xmax is not None:
+            ok = ok & (lx < xmax)
         out = np.zeros(np.broadcast(pxs, pys).shape, bool)
         gxi = np.clip(lx // 4, 0, gw - 1)
         gyi = np.clip(ly // 4, 0, gh - 1)
