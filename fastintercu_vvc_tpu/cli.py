@@ -20,12 +20,9 @@ import time
 import numpy as np
 
 
-def _encode(args) -> int:
-    from .codec import gop, hls
-    from .utils import yuv
-
-    chroma420 = not args.chroma400
-    cfg = hls.SeqConfig(
+def _cli_seqconfig(args, chroma420):
+    from .codec import hls
+    return hls.SeqConfig(
         width=args.width, height=args.height, bit_depth=args.bit_depth,
         chroma_format=hls.CHROMA_420 if chroma420 else hls.CHROMA_400,
         ctu_size=args.ctu, min_qt_intra=args.min_qt,
@@ -35,6 +32,48 @@ def _encode(args) -> int:
         temporal_mvp=args.tmvp, dep_quant=args.dep_quant,
         alf=args.alf, picture_hash=args.hash,
         transform_skip=args.transform_skip)
+
+
+def _encode(args) -> int:
+    from .codec import gop, hls
+    from .utils import yuv
+
+    chroma420 = not args.chroma400
+    if args.cfg:
+        # VTM/CTC-style layered cfg files (-c a.cfg -c b.cfg),
+        # CLI flags override
+        from .codec import config as cfgmod
+        rcfg = cfgmod.load(args.cfg)
+        run = rcfg.run
+        args.input = args.input or run.get("input")
+        args.bitstream = args.bitstream or run.get("bitstream")
+        args.recon = args.recon or run.get("recon")
+        if args.frames is None:
+            args.frames = run.get("frames")
+        if args.width == 0:
+            args.width = rcfg.seq.width
+        if args.height == 0:
+            args.height = rcfg.seq.height
+        cfg = rcfg.seq
+        cfg.width, cfg.height = args.width, args.height
+        cfg.__post_init__()
+        args.qp = args.qp if args.qp is not None else cfg.qp
+        args.bit_depth = cfg.bit_depth
+        if run.get("search_range"):
+            args.me_range = min(run["search_range"], 64)
+        if not args.input or not args.bitstream:
+            print("cfg mode: InputFile/BitstreamFile (or -i/-b) required",
+                  file=sys.stderr)
+            return 1
+        chroma420 = cfg.chroma_format == hls.CHROMA_420
+    else:
+        if not (args.input and args.bitstream and args.width
+                and args.height):
+            print("-i/-b/--width/--height required without -c",
+                  file=sys.stderr)
+            return 1
+        args.qp = 32 if args.qp is None else args.qp
+        cfg = _cli_seqconfig(args, chroma420)
 
     if args.trace:
         from .utils import trace as _trace
@@ -111,16 +150,48 @@ def _encode(args) -> int:
     return 0
 
 
+def _nals(args) -> int:
+    from .utils import bittools
+    bs = open(args.bitstream, "rb").read()
+    total = 0
+    for e in bittools.list_nals(bs):
+        print(f"{e['name']:<12} tid={e['tid']} {e['bytes']} bytes")
+        total += e["bytes"]
+    print(f"total {total} bytes")
+    return 0
+
+
+def _sei_remove(args) -> int:
+    from .utils import bittools
+    bs = open(args.input, "rb").read()
+    out = bittools.remove_sei(bs)
+    open(args.output, "wb").write(out)
+    print(f"{len(bs)} -> {len(out)} bytes")
+    return 0
+
+
+def _parcat(args) -> int:
+    from .utils import bittools
+    streams = [open(f, "rb").read() for f in args.inputs]
+    out = bittools.parcat(streams)
+    open(args.output, "wb").write(out)
+    print(f"{len(streams)} segments -> {len(out)} bytes")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fastintercu_vvc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     e = sub.add_parser("encode", help="encode a YUV file to VVC")
-    e.add_argument("-i", "--input", required=True)
-    e.add_argument("-b", "--bitstream", required=True)
-    e.add_argument("--width", type=int, required=True)
-    e.add_argument("--height", type=int, required=True)
-    e.add_argument("--qp", type=int, default=32)
+    e.add_argument("-i", "--input", default=None)
+    e.add_argument("-b", "--bitstream", default=None)
+    e.add_argument("-c", "--cfg", action="append", default=[],
+                   help="VTM/CTC-style cfg file (repeatable; later "
+                        "files and CLI flags override)")
+    e.add_argument("--width", type=int, default=0)
+    e.add_argument("--height", type=int, default=0)
+    e.add_argument("--qp", type=int, default=None)
     e.add_argument("--frames", type=int, default=None)
     e.add_argument("--bit-depth", type=int, default=10)
     e.add_argument("--ctu", type=int, default=64)
@@ -159,6 +230,23 @@ def main(argv=None) -> int:
     e.add_argument("--trace-channels", default=None,
                    help="comma list: frame,cu,sao,rc (default all)")
     e.set_defaults(fn=_encode)
+
+    n = sub.add_parser("nals", help="list NAL units of a stream "
+                                    "(annexB inventory)")
+    n.add_argument("bitstream")
+    n.set_defaults(fn=_nals)
+
+    sr = sub.add_parser("sei-remove",
+                        help="strip SEI NAL units (SEIRemovalApp)")
+    sr.add_argument("input")
+    sr.add_argument("output")
+    sr.set_defaults(fn=_sei_remove)
+
+    pc = sub.add_parser("parcat", help="concatenate IDR-aligned "
+                                       "streams (Parcat)")
+    pc.add_argument("inputs", nargs="+")
+    pc.add_argument("-o", "--output", required=True)
+    pc.set_defaults(fn=_parcat)
 
     args = p.parse_args(argv)
     return args.fn(args)
