@@ -57,12 +57,13 @@ class SequenceEncoder:
 
     def __init__(self, cfg: hls.SeqConfig, intra_period: int = 0,
                  num_refs: int = 1, rate_control=None, mctf: bool = False,
-                 **enc_kwargs):
+                 aq=None, **enc_kwargs):
         self.cfg = cfg
         self.intra_period = intra_period   # 0 = first frame only
         self.num_refs = num_refs
         self.rate_control = rate_control   # codec.ratectrl.RateController
         self.mctf = mctf                   # temporal prefilter (ops/mctf)
+        self.aq = aq                       # codec.aq.AdaptiveQP
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
     def encode(self, frames: list[np.ndarray],
@@ -80,6 +81,12 @@ class SequenceEncoder:
         for poc, frame in enumerate(frames):
             is_intra = poc == 0 or (
                 self.intra_period > 0 and poc % self.intra_period == 0)
+            if self.aq is not None and cfg.cu_qp_delta:
+                luma0 = frame[0] if cfg.chroma_format != hls.CHROMA_400 \
+                    else frame
+                self.frame_encoder.ctu_qp_fn = self.aq.for_frame(
+                    luma0, qp if qp is not None else cfg.qp,
+                    cfg.ctu_size)
             if self.rate_control is not None:
                 qp = self.rate_control.qp_for_frame(is_intra)
                 if cfg.cu_qp_delta:

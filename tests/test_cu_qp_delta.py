@@ -124,3 +124,30 @@ def test_ctu_rate_control_bitexact_and_converges():
     assert tail_err < 1.5, (res.frame_bits, tail_err)
     assert tail_err < head_err * 0.6, (res.frame_bits, head_err,
                                        tail_err)
+
+
+def test_adaptive_qp_bitexact():
+    """Variance AQ (AQp.cpp analogue): busy CTUs get higher QP, flat
+    CTUs lower, stream stays bit-exact."""
+    from fastintercu_vvc_tpu.codec import aq
+    w = h = 128
+    qp = 32
+    rng = np.random.RandomState(77)
+    frames = []
+    for t in range(3):
+        y = np.full((h, w), 480, np.int32)
+        y[:, w // 2:] += rng.randint(-220, 220, (h, w // 2))  # busy half
+        u = np.full((h // 2, w // 2), 512, np.int32)
+        v = np.full((h // 2, w // 2), 420, np.int32)
+        frames.append((np.clip(y, 0, 1023), u, v))
+    off = aq.aq_offsets(frames[0][0], 64)
+    assert off[0, 1] > off[0, 0], off      # busy column coarser
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, min_qt_intra=16, min_qt_inter=16,
+                        log2_min_cu=3, qp=qp, cu_qp_delta=True)
+    res = gop.SequenceEncoder(cfg, me_range=8,
+                              aq=aq.AdaptiveQP()).encode(frames, qp=qp)
+    dec = decode_y(res.bitstream, w, h, 3)
+    for t in range(3):
+        np.testing.assert_array_equal(dec[t], res.recons[t].recon,
+                                      err_msg=f"f{t}")
