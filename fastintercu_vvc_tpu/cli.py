@@ -147,6 +147,13 @@ def _encode(args) -> int:
           f"in {dt:.1f}s ({len(frames) / dt:.3f} fps)")
     print(f"total {total_bits} bits, mean PSNR-Y "
           f"{float(np.mean(psnrs)):.2f} dB")
+    # Analyze.h-style per-slice-type summary
+    for t, e in res.summary(frames, args.bit_depth).items():
+        if t == "total":
+            continue
+        psnr = f" psnr-y {e['psnr_y']:.2f}" if "psnr_y" in e else ""
+        print(f"  {t}-slices: {e['frames']:3d} frames, "
+              f"avg {e['avg_bits']:.0f} bits{psnr}")
     return 0
 
 

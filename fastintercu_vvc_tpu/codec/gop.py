@@ -29,6 +29,32 @@ class SequenceResult:
     def luma_recons(self):
         return [r.recon for r in self.recons]
 
+    def summary(self, originals=None, bit_depth: int = 10) -> dict:
+        """Per-slice-type totals (Analyze.h:64/printOut:193 parity):
+        frame count, average bits, and average PSNR when the originals
+        are supplied."""
+        out = {}
+        maxv = (1 << bit_depth) - 1
+        for t in sorted(set(self.frame_types)):
+            idxs = [i for i, ft in enumerate(self.frame_types)
+                    if ft == t]
+            e = {"frames": len(idxs),
+                 "avg_bits": float(np.mean([self.frame_bits[i]
+                                            for i in idxs]))}
+            if originals is not None:
+                ps = []
+                for i in idxs:
+                    o = originals[i]
+                    oy = o[0] if isinstance(o, tuple) else o
+                    d = (oy - self.recons[i].recon).astype(np.float64)
+                    ps.append(10 * np.log10(
+                        maxv ** 2 / max(float((d * d).mean()), 1e-9)))
+                e["psnr_y"] = float(np.mean(ps))
+            out[t] = e
+        out["total"] = {"frames": len(self.frame_types),
+                        "bits": int(sum(self.frame_bits))}
+        return out
+
 
 def split_nals(bs: bytes) -> list[bytes]:
     """Split an annex-B stream into NAL payloads."""
