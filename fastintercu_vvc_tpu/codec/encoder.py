@@ -1617,14 +1617,18 @@ class FrameEncoder:
               "recon": recon, "chroma": None, "ts": ts}
         chroma_mode = "dm"
         if self.chroma:
-            # CCLM reads the CURRENT CU's reconstructed luma (the
-            # decoder reconstructs luma before chroma): splice the
-            # trial recon in for the chroma evaluation
-            save = self.recon[y:y + h, x:x + w].copy()
-            self.recon[y:y + h, x:x + w] = recon
-            ch, chroma_mode, jmask = self._best_chroma_intra(
-                x, y, w, h, mode)
-            self.recon[y:y + h, x:x + w] = save
+            if self.cfg.cclm:
+                # CCLM reads the CURRENT CU's reconstructed luma (the
+                # decoder reconstructs luma before chroma): splice the
+                # trial recon in for the chroma evaluation
+                save = self.recon[y:y + h, x:x + w].copy()
+                self.recon[y:y + h, x:x + w] = recon
+                ch, chroma_mode, jmask = self._best_chroma_intra(
+                    x, y, w, h, mode)
+                self.recon[y:y + h, x:x + w] = save
+            else:
+                ch, chroma_mode, jmask = self._best_chroma_intra(
+                    x, y, w, h, mode)
             tu["chroma"] = ch
             tu["joint_cbcr"] = jmask
             ssd += ch[0][3] + ch[1][3]

@@ -214,15 +214,19 @@ def build_refs_grid(recon: np.ndarray, x: int, y: int, w: int, h: int,
     nl = 2 * h + 1 + mrl
     tposx = x - 1 - mrl + np.arange(nt)
     lposy = y - 1 - mrl + np.arange(nl)
-    # availability judged at the line-0 neighbor units; the first
-    # 1 + mrl entries (corner region) take the corner unit's flag
-    top_avail = avail(np.maximum(tposx, x - 1),
-                      np.full_like(tposx, y - 1))
-    left_avail = avail(np.full_like(lposy, x - 1),
-                       np.maximum(lposy, y - 1))
-    corner_ok = avail(np.asarray([x - 1]), np.asarray([y - 1]))[0]
-    top_avail[:1 + mrl] = corner_ok
-    left_avail[:1 + mrl] = corner_ok
+    if mrl == 0:
+        top_avail = avail(tposx, np.full_like(tposx, y - 1))
+        left_avail = avail(np.full_like(lposy, x - 1), lposy)
+    else:
+        # availability judged at the line-0 neighbor units; the first
+        # 1 + mrl entries (corner region) take the corner unit's flag
+        top_avail = avail(np.maximum(tposx, x - 1),
+                          np.full_like(tposx, y - 1))
+        left_avail = avail(np.full_like(lposy, x - 1),
+                           np.maximum(lposy, y - 1))
+        corner_ok = avail(np.asarray([x - 1]), np.asarray([y - 1]))[0]
+        top_avail[:1 + mrl] = corner_ok
+        left_avail[:1 + mrl] = corner_ok
 
     dcval = 1 << (bit_depth - 1)
     top = np.full(nt, dcval, np.int32)
