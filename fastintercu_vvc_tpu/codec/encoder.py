@@ -331,6 +331,10 @@ class FrameEncoder:
         if self.chroma:
             assert cfg.log2_min_cu >= 3, \
                 "4:2:0 needs min luma CU 8x8 (small-chroma constraints TODO)"
+        assert not (cfg.sign_data_hiding and cfg.transform_skip), \
+            "SDH with TS-over-RRC not supported"
+        assert not (cfg.sign_data_hiding and cfg.dep_quant), \
+            "SDH and dependent quantization are mutually exclusive"
         self.cfg = cfg
         self.num_mode_cands = num_mode_cands
         self.me_range = me_range
@@ -987,6 +991,14 @@ class FrameEncoder:
                   2: (tnp.DCT8, tnp.DST7), 3: (tnp.DST7, tnp.DCT8),
                   4: (tnp.DCT8, tnp.DCT8)}
 
+    def _sdh_active(self):
+        return self.cfg.sign_data_hiding and not self.cfg.dep_quant
+
+    def _maybe_sdh(self, q):
+        if self._sdh_active() and np.any(q):
+            return residual.apply_sign_hiding(q)
+        return q
+
     def _tq_mts(self, blk, pred, qp_eff, mts_idx):
         bd = self.cfg.bit_depth
         kh, kv = self._MTS_KINDS[mts_idx]
@@ -1001,7 +1013,8 @@ class FrameEncoder:
                                          bit_depth=bd)
                 return q, _clip_pel(pred + r, bd), True
             return q, _clip_pel(pred, bd), False
-        q = tnp.quant(coeff, qp_eff, bit_depth=bd, is_irap=irap)
+        q = self._maybe_sdh(
+            tnp.quant(coeff, qp_eff, bit_depth=bd, is_irap=irap))
         if np.any(q):
             dq = tnp.dequant(q, qp_eff, bit_depth=bd)
             r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
@@ -1033,8 +1046,9 @@ class FrameEncoder:
             return self._tq_mts(blk, pred, qp_eff, 0)
         bd = self.cfg.bit_depth
         coeff = tnp.fwd_transform_2d(blk - pred, bit_depth=bd)
-        q = tnp.quant(coeff, qp_eff, bit_depth=bd,
-                      is_irap=self.slice_type == hls.I_SLICE)
+        q = self._maybe_sdh(tnp.quant(
+            coeff, qp_eff, bit_depth=bd,
+            is_irap=self.slice_type == hls.I_SLICE))
         if np.any(q):
             dq = tnp.dequant(q, qp_eff, bit_depth=bd)
             r = tnp.inv_transform_2d(dq, bit_depth=bd)
@@ -1092,8 +1106,9 @@ class FrameEncoder:
                 q = tnp.quant_dep(coeff, self.qp_c_eff, bit_depth=bd,
                                   is_irap=irap)
             else:
-                q = tnp.quant(coeff, self.qp_c_eff, bit_depth=bd,
-                              is_irap=irap)
+                q = self._maybe_sdh(tnp.quant(coeff, self.qp_c_eff,
+                                              bit_depth=bd,
+                                              is_irap=irap))
             if not np.any(q):
                 continue      # the carried cbf must be 1
             if self.cfg.dep_quant:
@@ -2097,8 +2112,9 @@ class FrameEncoder:
                 q = tnp.quant_dep(coeff, self.qp_eff, bit_depth=bd,
                                   is_irap=irap)
             else:
-                q = tnp.quant(coeff, self.qp_eff, bit_depth=bd,
-                              is_irap=irap)
+                q = self._maybe_sdh(tnp.quant(coeff, self.qp_eff,
+                                              bit_depth=bd,
+                                              is_irap=irap))
             cbf = bool(np.any(q))
             if cbf:
                 if self.cfg.dep_quant:
@@ -2372,6 +2388,7 @@ class FrameEncoder:
                 enc.encode_bin(1 if joint else 0,
                                ctx_ids.JointCbCrFlag[0] + mask - 1)
         dq = self.cfg.dep_quant
+        sdh = self._sdh_active()
         ts_cfg = self.cfg.transform_skip
         if tu["cbf"]:
             # ts_flag precedes the residual (residual_coding entry,
@@ -2381,17 +2398,21 @@ class FrameEncoder:
                                ctx_ids.TransformSkipFlag[0])
             residual.write_residual_coding(enc, tu["q"], residual.LUMA,
                                            dep_quant=dq and
+                                           not tu.get("ts"),
+                                           sign_hiding=sdh and
                                            not tu.get("ts"))
         if cbf_cb:
             if ts_cfg and tu["w"] // 2 <= 4 and tu["h"] // 2 <= 4:
                 enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[0][0],
-                                           residual.CHROMA, dep_quant=dq)
+                                           residual.CHROMA, dep_quant=dq,
+                                           sign_hiding=sdh)
         if cbf_cr and joint != 3:
             if ts_cfg and tu["w"] // 2 <= 4 and tu["h"] // 2 <= 4:
                 enc.encode_bin(0, ctx_ids.TransformSkipFlag[0] + 1)
             residual.write_residual_coding(enc, ch[1][0],
-                                           residual.CHROMA, dep_quant=dq)
+                                           residual.CHROMA, dep_quant=dq,
+                                           sign_hiding=sdh)
 
     def _write_leaf_intra(self, x, y, w, h, trial):
         enc = self.enc

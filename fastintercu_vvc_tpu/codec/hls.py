@@ -459,7 +459,8 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
     # deblocking control: override disabled -> nothing
     if cfg.dep_quant:
         w.write_flag(1)                 # sh_dep_quant_used_flag
-    # sign hiding: sps off -> nothing
+    if cfg.sign_data_hiding and not cfg.dep_quant:
+        w.write_flag(1)                 # sh_sign_data_hiding_used_flag
     if cfg.transform_skip and not cfg.dep_quant:
         w.write_flag(1)   # sh_ts_residual_coding_disabled_flag (RRC)
     return w

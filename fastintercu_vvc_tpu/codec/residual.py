@@ -246,13 +246,45 @@ def _native_ctxb(w: int, h: int, ch: int) -> list[int]:
             int(GROUP_IDX[min(ZERO_OUT_TH, h) - 1])]
 
 
+def apply_sign_hiding(coeff: np.ndarray) -> np.ndarray:
+    """Quant::xSignBitHidingHDQ parity at the bitstream level
+    (Quant.cpp:222): per coding group with lastNZ-firstNZ >= 4, the
+    sign of the first (lowest-scan) nonzero is inferred from the
+    parity of the group's level sum — adjust a level so the parity
+    matches. Encoder choice: bump |last nonzero| by one (VTM picks the
+    RD-cheapest coefficient; the normative decode only needs parity)."""
+    h, w = coeff.shape
+    cctx = CoeffCtx(w, h, LUMA)      # scan layout only (ch-independent)
+    scan = cctx.scan
+    q = coeff.copy()
+    gsize = 1 << cctx.log2_cg_size
+    for sub in range(0, len(scan), gsize):
+        grp = scan[sub:sub + gsize]
+        vals = [int(q[gy, gx]) for (gx, gy) in grp]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            continue
+        first, last = nz[0], nz[-1]
+        if last - first < SBH_THRESHOLD:
+            continue
+        sign_bit = 0 if vals[first] > 0 else 1
+        if sign_bit != (sum(vals[first:last + 1]) & 1):
+            gx, gy = grp[last]
+            q[gy, gx] += 1 if q[gy, gx] > 0 else -1
+    return q
+
+
+SBH_THRESHOLD = 4
+
+
 def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
                           dep_quant: bool = False,
                           sign_hiding: bool = False):
     """Write one TU component's coefficients. coeff: [H, W] int array
     (already quantized levels). Assumes at least one nonzero coeff.
-    Caller handles ts_flag/mts signalling separately."""
-    assert not sign_hiding, "sign data hiding not implemented yet"
+    Caller handles ts_flag/mts signalling separately. sign_hiding:
+    sh_sign_data_hiding_used_flag semantics — the caller must have run
+    apply_sign_hiding on the levels first."""
     h, w = coeff.shape
 
     # recorder target + no dep-quant -> generate the op stream natively
@@ -287,11 +319,12 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
     for subset_id in range(scan_pos_last >> cctx.log2_cg_size, -1, -1):
         cctx.init_subblock(subset_id, subset_id in sig_groups)
         state = _write_subblock(enc, cctx, coeff, state_tab, state,
-                                scan_pos_last)
+                                scan_pos_last, sign_hiding)
 
 
 def _write_subblock(enc, cctx: CoeffCtx, coeff: np.ndarray,
-                    state_tab: int, state: int, scan_pos_last: int) -> int:
+                    state_tab: int, state: int, scan_pos_last: int,
+                    sign_hiding: bool = False) -> int:
     min_sub_pos = cctx.min_sub_pos
     is_last = (scan_pos_last >> cctx.log2_cg_size) == cctx.subset_id
     first_sig_pos = scan_pos_last if is_last else cctx.max_sub_pos
@@ -382,6 +415,13 @@ def _write_subblock(enc, cctx: CoeffCtx, coeff: np.ndarray,
             if c < 0:
                 sign_pattern += 1
 
-    # signs
-    enc.encode_bins_ep(sign_pattern, num_non_zero)
+    # signs (the first nonzero's sign is hidden when SDH applies,
+    # CABACWriter.cpp:3011-3017)
+    num_signs = num_non_zero
+    if sign_hiding and num_non_zero \
+            and (last_nz_pos - first_nz_pos) >= 4:
+        num_signs -= 1
+        sign_pattern >>= 1
+    if num_signs:
+        enc.encode_bins_ep(sign_pattern, num_signs)
     return state

@@ -134,3 +134,25 @@ def test_1d_transform_roundtrip():
     c = transforms.fwd_transform_1xN(resi, axis=-1)
     r = transforms.inv_transform_1xN(c, axis=-1)
     assert np.abs(np.asarray(r) - 2 * np.asarray(resi)).max() <= 8
+
+
+def test_sign_hiding_parity_fixer():
+    """apply_sign_hiding: every qualifying coding group ends with the
+    first nonzero's sign matching the level-sum parity."""
+    import numpy as np
+    from fastintercu_vvc_tpu.codec import residual
+    rng = np.random.RandomState(3)
+    for _ in range(50):
+        q = rng.randint(-6, 7, (16, 16)).astype(np.int64)
+        q[rng.rand(16, 16) < 0.5] = 0
+        out = residual.apply_sign_hiding(q)
+        cctx = residual.CoeffCtx(16, 16, residual.LUMA)
+        g = 1 << cctx.log2_cg_size
+        for sub in range(0, len(cctx.scan), g):
+            grp = cctx.scan[sub:sub + g]
+            vals = [int(out[y, x]) for (x, y) in grp]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz or nz[-1] - nz[0] < 4:
+                continue
+            sign_bit = 0 if vals[nz[0]] > 0 else 1
+            assert sign_bit == (sum(vals[nz[0]:nz[-1] + 1]) & 1)
