@@ -287,8 +287,10 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
     apply_sign_hiding on the levels first."""
     h, w = coeff.shape
 
-    # recorder target + no dep-quant -> generate the op stream natively
-    if not dep_quant and hasattr(enc, "extend_ops"):
+    # recorder target + no dep-quant -> generate the op stream
+    # natively (the C generator does not model sign hiding yet, so SDH
+    # streams use the python bin generator into the recorder)
+    if not dep_quant and not sign_hiding and hasattr(enc, "extend_ops"):
         from .. import native
         if native.get_lib() is not None:
             lgw, lgh = rom.log2_sbb_size(w.bit_length() - 1,
