@@ -81,10 +81,27 @@ def _encode(args) -> int:
                           args.trace_channels.split(",")
                           if args.trace_channels else None)
 
+    # non-multiple-of-8 sources: encode at the padded coded size with a
+    # conformance window cropping back (EncApp source-padding parity)
+    cw, ch = hls.coded_size(args.width, args.height, cfg.log2_min_cu)
+    pad_w, pad_h = cw - args.width, ch - args.height
+    if pad_w or pad_h:
+        sub = 2 if chroma420 else 1
+        cfg.width, cfg.height = cw, ch
+        cfg.conf_win_right = pad_w // sub
+        cfg.conf_win_bottom = pad_h // sub
+
     frames = []
     for y, u, v in yuv.read_frames(args.input, args.width, args.height,
                                    args.bit_depth, chroma420=chroma420,
                                    max_frames=args.frames):
+        if pad_w or pad_h:
+            y = np.pad(y, ((0, pad_h), (0, pad_w)), mode="edge")
+            if chroma420:
+                u = np.pad(u, ((0, pad_h // 2), (0, pad_w // 2)),
+                           mode="edge")
+                v = np.pad(v, ((0, pad_h // 2), (0, pad_w // 2)),
+                           mode="edge")
         frames.append((y, u, v) if chroma420 else y)
     if not frames:
         print(f"no frames read from {args.input}", file=sys.stderr)
@@ -133,8 +150,13 @@ def _encode(args) -> int:
     with open(args.bitstream, "wb") as f:
         f.write(res.bitstream)
     if args.recon:
+        sw, sh = args.width, args.height   # conformance-window crop
         yuv.write_frames(args.recon,
-                         ((r.recon, r.recon_cb, r.recon_cr)
+                         ((r.recon[:sh, :sw],
+                           r.recon_cb[:sh // 2, :sw // 2]
+                           if r.recon_cb is not None else None,
+                           r.recon_cr[:sh // 2, :sw // 2]
+                           if r.recon_cr is not None else None)
                           for r in res.recons), args.bit_depth)
 
     maxv = (1 << args.bit_depth) - 1

@@ -44,6 +44,16 @@ class SearchDecisions:
     mode: dict
 
 
+def _pad_to_ctu(plane: np.ndarray, cs: int) -> np.ndarray:
+    """Edge-pad a plane to CTU multiples (search-only; the commit pass
+    works on the exact picture)."""
+    H, W = plane.shape
+    ph, pw = -H % cs, -W % cs
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
 def _block_refs_from_plane(plane: np.ndarray, s: int):
     """Gather top[N, 2s+1]/left[N, 2s+1] for all s x s blocks of the
     plane (org-based search refs; borders replicate — the commit pass
@@ -114,8 +124,13 @@ def search_inter_frame(org: np.ndarray, ref: np.ndarray,
     """
     from ..ops import me_batch
 
-    H, W = org.shape
     cs = cfg.ctu_size
+    # arbitrary picture sizes: search on an edge-padded CTU-multiple
+    # plane; the commit pass forces the implicit border splits and
+    # only consumes decisions for in-picture blocks
+    org = _pad_to_ctu(org, cs)
+    ref = _pad_to_ctu(ref, cs)
+    H, W = org.shape
     min_qt = cfg.min_qt_inter
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     lam_satd = np.sqrt(lam)
@@ -216,8 +231,9 @@ def search_intra_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     -1 = no hint, 0 = force no-split at CTU root, 1 = force QT at root
     (the MLT-CNN pruning contract; reference EncModeCtrl::setNewModeList).
     """
-    H, W = org.shape
     cs = cfg.ctu_size
+    org = _pad_to_ctu(org, cs)
+    H, W = org.shape
     min_qt = cfg.min_qt_intra
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     # SATD operates in the pel domain; mode+split bits scaled by sqrt(lam)

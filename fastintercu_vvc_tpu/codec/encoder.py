@@ -324,8 +324,14 @@ class FrameEncoder:
                  batched_me: bool = True):
         self.two_pass = two_pass
         self.batched_me = batched_me
-        assert cfg.width % cfg.ctu_size == 0
-        assert cfg.height % cfg.ctu_size == 0
+        # arbitrary picture sizes: dims need only be a multiple of
+        # max(8, minCU) (spec constraint on pps_pic_*_in_luma_samples);
+        # CTU-border overhang is handled by implicit splits
+        # (UnitPartitioner.cpp:516 getImplicitSplit)
+        mincb = max(8, 1 << cfg.log2_min_cu)
+        assert cfg.width % mincb == 0 and cfg.height % mincb == 0, \
+            "picture dims must be multiples of max(8, minCU); use " \
+            "hls.coded_size + conformance window for other sources"
         assert cfg.ctu_size in (32, 64, 128)
         self.chroma = cfg.chroma_format == hls.CHROMA_420
         if self.chroma:
@@ -794,14 +800,16 @@ class FrameEncoder:
         return head + last_payload, last_tail
 
     def _replay_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
-                   tt_mid):
+                   tt_mid, ibt=0):
         m = self.maps
+        pic_h, pic_w = self.org.shape
         cans = partition.can_split(w, h, qt_depth, mtt_depth, self.pc,
-                                   last_split, tt_mid)
+                                   last_split, tt_mid, x=x, y=y,
+                                   pic_w=pic_w, pic_h=pic_h, ibt=ibt)
         ctxs = partition.split_ctx(m, x, y, w, h, qt_depth, mtt_depth,
                                    cans)
         g = (y // 4, x // 4)
-        if (int(m.cu_x0[g]), int(m.cu_y0[g])) == (x, y) and \
+        if cans[0] and (int(m.cu_x0[g]), int(m.cu_y0[g])) == (x, y) and \
                 int(m.cu_w[g]) == w and int(m.cu_h[g]) == h:
             partition.write_split_mode(self.enc, partition.NO_SPLIT,
                                        cans, ctxs)
@@ -816,8 +824,8 @@ class FrameEncoder:
 
         def fits(children):
             for (cx, cy, cw, chh) in children:
-                for gy in range(cy // 4, (cy + chh) // 4):
-                    for gx in range(cx // 4, (cx + cw) // 4):
+                for gy in range(cy // 4, min((cy + chh) // 4, m.gh)):
+                    for gx in range(cx // 4, min((cx + cw) // 4, m.gw)):
                         x0, y0 = int(m.cu_x0[gy, gx]), int(m.cu_y0[gy, gx])
                         if not (cx <= x0 and cy <= y0):
                             return False
@@ -826,6 +834,9 @@ class FrameEncoder:
                             return False
             return True
 
+        impl = partition.implicit_split(x, y, w, h, self.pc, pic_w,
+                                        pic_h, last_split, mtt_depth,
+                                        ibt)
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
         options = [(partition.QT_SPLIT, can_qt), (partition.BT_H, can_bh),
                    (partition.BT_V, can_bv), (partition.TT_H, can_th),
@@ -837,7 +848,11 @@ class FrameEncoder:
             if not fits(children):
                 continue
             partition.write_split_mode(self.enc, split, cans, ctxs)
+            nibt = ibt + (1 if split in (partition.BT_H, partition.BT_V)
+                          and split == impl else 0)
             for i, (cx, cy, cw, chh) in enumerate(children):
+                if cx >= pic_w or cy >= pic_h:
+                    continue      # out-of-picture child: not coded
                 nqt = qt_depth + 1 if split == partition.QT_SPLIT \
                     else qt_depth
                 nmt = mtt_depth if split == partition.QT_SPLIT \
@@ -846,29 +861,47 @@ class FrameEncoder:
                 if split in (partition.TT_H, partition.TT_V) and i == 1:
                     tmid = partition.BT_H if split == partition.TT_H \
                         else partition.BT_V
-                self._replay_cu(cx, cy, cw, chh, nqt, nmt, split, tmid)
+                self._replay_cu(cx, cy, cw, chh, nqt, nmt, split, tmid,
+                                nibt)
             return
         raise AssertionError(f"replay: no legal split at {(x, y, w, h)}")
 
     # ------------------------------------------------------------------
     def _compress_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
-                     tt_mid) -> float:
+                     tt_mid, ibt=0) -> float:
         enc = self.enc
+        pic_h, pic_w = self.org.shape
         cans = partition.can_split(w, h, qt_depth, mtt_depth, self.pc,
-                                   last_split, tt_mid)
+                                   last_split, tt_mid, x=x, y=y,
+                                   pic_w=pic_w, pic_h=pic_h, ibt=ibt)
         ctxs = partition.split_ctx(self.maps, x, y, w, h, qt_depth,
                                    mtt_depth, cans)
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = cans
+        impl = partition.implicit_split(x, y, w, h, self.pc, pic_w,
+                                        pic_h, last_split, mtt_depth,
+                                        ibt)
 
         if self.decisions is not None:
             do_split = self.decisions.split.get((x, y, w), False) and can_qt
-            chosen = partition.QT_SPLIT if do_split else partition.NO_SPLIT
+            if not can_no and not do_split:
+                # picture-border block: an implicit split is mandatory
+                do_split = True
+            if do_split:
+                chosen = partition.QT_SPLIT if can_qt else impl
+            else:
+                chosen = partition.NO_SPLIT
             partition.write_split_mode(enc, chosen, cans, ctxs)
             if do_split:
+                nibt = ibt + (1 if chosen in (partition.BT_H,
+                                              partition.BT_V) else 0)
+                nqt = qt_depth + (chosen == partition.QT_SPLIT)
+                nmt = mtt_depth + (chosen != partition.QT_SPLIT)
                 for (cx, cy, cw, ch) in partition.split_children(
-                        x, y, w, h, partition.QT_SPLIT):
-                    self._compress_cu(cx, cy, cw, ch, qt_depth + 1,
-                                      mtt_depth, partition.QT_SPLIT, None)
+                        x, y, w, h, chosen):
+                    if cx >= pic_w or cy >= pic_h:
+                        continue
+                    self._compress_cu(cx, cy, cw, ch, nqt, nmt, chosen,
+                                      None, nibt)
             else:
                 self._encode_leaf(x, y, w, h, qt_depth,
                                   forced_mode=self.decisions.mode.get(
@@ -901,8 +934,13 @@ class FrameEncoder:
                 ssd = self._encode_leaf(x, y, w, h, qt_depth)
                 cost = ssd + self.lam * (_EncState.bits(enc) - base_bits)
             else:
+                nibt = ibt + (1 if split in (partition.BT_H,
+                                             partition.BT_V)
+                              and split == impl else 0)
                 for i, (cx, cy, cw, ch) in enumerate(
                         partition.split_children(x, y, w, h, split)):
+                    if cx >= pic_w or cy >= pic_h:
+                        continue
                     nqt = qt_depth + 1 if split == partition.QT_SPLIT \
                         else qt_depth
                     nmt = mtt_depth if split == partition.QT_SPLIT \
@@ -911,7 +949,8 @@ class FrameEncoder:
                     if split in (partition.TT_H, partition.TT_V) and i == 1:
                         tmid = partition.BT_H if split == partition.TT_H \
                             else partition.BT_V
-                    self._compress_cu(cx, cy, cw, ch, nqt, nmt, split, tmid)
+                    self._compress_cu(cx, cy, cw, ch, nqt, nmt, split,
+                                      tmid, nibt)
                 cost = self._region_ssd(x, y, w, h) + \
                     self.lam * (_EncState.bits(enc) - base_bits)
 

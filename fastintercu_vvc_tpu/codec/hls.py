@@ -104,6 +104,11 @@ class SeqConfig:
     max_merge_cand: int = 6
     max_geo_cand: int = 5
     max_affine_merge_cand: int = 5
+    # conformance window (sps_conf_win_*, in SubWidthC/SubHeightC
+    # chroma units): crops the coded picture back to the source size
+    # when the source dims aren't multiples of max(8, minCU)
+    conf_win_right: int = 0
+    conf_win_bottom: int = 0
     # misc
     cu_qp_delta: bool = False     # per-QG (CTU) delta QP
     picture_hash: bool = False    # suffix-SEI MD5 per picture
@@ -131,6 +136,30 @@ class SeqConfig:
     @property
     def pic_height_in_ctus(self) -> int:
         return (self.height + self.ctu_size - 1) // self.ctu_size
+
+
+def coded_size(src_w: int, src_h: int, log2_min_cu: int = 2):
+    """Round source dims up to the legal coded picture size (multiple
+    of max(8, minCU); spec constraint on pps_pic_*_in_luma_samples)."""
+    m = max(8, 1 << log2_min_cu)
+    return (src_w + m - 1) // m * m, (src_h + m - 1) // m * m
+
+
+def config_for_source(src_w: int, src_h: int, **kw) -> SeqConfig:
+    """SeqConfig for an arbitrary source size: coded dims padded to the
+    minimum-CB multiple, the conformance window cropping back to the
+    source (EncApp xInitLibCfg conf-window derivation). The caller pads
+    the source planes to (cfg.height, cfg.width) with edge replication
+    (utils.yuv.pad_plane / VideoIOYuv::read padding)."""
+    log2_min_cu = kw.get("log2_min_cu", 2)
+    cw, ch = coded_size(src_w, src_h, log2_min_cu)
+    chroma = kw.get("chroma_format", CHROMA_420)
+    sub = 2 if chroma in (CHROMA_420, CHROMA_422) else 1
+    kw.update(width=cw, height=ch,
+              conf_win_right=(cw - src_w) // sub,
+              conf_win_bottom=(ch - src_h) //
+              (2 if chroma == CHROMA_420 else 1))
+    return SeqConfig(**kw)
 
 
 def _write_profile_tier_level(w: BitWriter, cfg: SeqConfig):
@@ -163,7 +192,14 @@ def write_sps(cfg: SeqConfig) -> bytes:
     w.write_flag(0)                     # sps_ref_pic_resampling_enabled_flag
     w.write_uvlc(cfg.width)             # sps_pic_width_max_in_luma_samples
     w.write_uvlc(cfg.height)            # sps_pic_height_max_in_luma_samples
-    w.write_flag(0)                     # sps_conformance_window_flag
+    if cfg.conf_win_right or cfg.conf_win_bottom:
+        w.write_flag(1)                 # sps_conformance_window_flag
+        w.write_uvlc(0)                 # sps_conf_win_left_offset
+        w.write_uvlc(cfg.conf_win_right)
+        w.write_uvlc(0)                 # sps_conf_win_top_offset
+        w.write_uvlc(cfg.conf_win_bottom)
+    else:
+        w.write_flag(0)                 # sps_conformance_window_flag
     w.write_flag(0)                     # sps_subpic_info_present_flag
     w.write_uvlc(cfg.bit_depth - 8)     # sps_bitdepth_minus8
     w.write_flag(1 if cfg.wpp else 0)   # sps_entropy_coding_sync_enabled_flag

@@ -31,19 +31,59 @@ class PartitionConstraints:
     max_tb_size: int = 64
 
 
+def implicit_split(x: int, y: int, w: int, h: int,
+                   pc: PartitionConstraints, pic_w: int | None,
+                   pic_h: int | None, last_split: int = QT_SPLIT,
+                   mtt_depth: int = 0, ibt: int = 0) -> int:
+    """getImplicitSplit parity (UnitPartitioner.cpp:516): the split a
+    picture-border-crossing block is forced to take. NO_SPLIT when the
+    block is fully inside the picture (or no bounds given).
+
+    ibt: currImplicitBtDepth — implicit BT splits among the ancestors
+    (they raise the effective max MTT depth, UnitPartitioner.cpp:370).
+    Every ancestor of a border-crossing block is itself implicitly
+    split (a fully-inside block has no border-crossing children), so
+    currBtDepth == 0 iff no BT occurred on the chain, i.e. iff
+    last_split is QT/CTU-level.
+    """
+    if pic_w is None or pic_h is None:
+        return NO_SPLIT
+    bl_in = y + h <= pic_h    # bottomLeft in picture (x always in)
+    tr_in = x + w <= pic_w    # topRight in picture (y always in)
+    if bl_in and tr_in:
+        return NO_SPLIT
+    bt_allowed = (w <= pc.max_bt_size and h <= pc.max_bt_size
+                  and mtt_depth < pc.max_mtt_depth + ibt)
+    bt_depth0 = last_split in (QT_SPLIT, NO_SPLIT)
+    qt_allowed = w > pc.min_qt and h > pc.min_qt and bt_depth0
+    if not bl_in and not tr_in and qt_allowed:
+        return QT_SPLIT
+    if not bl_in and bt_allowed and w <= pc.max_tb_size:
+        return BT_H
+    if not tr_in and bt_allowed and h <= pc.max_tb_size:
+        return BT_V
+    return QT_SPLIT
+
+
 def can_split(w: int, h: int, qt_depth: int, mtt_depth: int,
               pc: PartitionConstraints, last_split: int = QT_SPLIT,
-              tt_mid_of: int | None = None):
+              tt_mid_of: int | None = None, *, x: int = 0, y: int = 0,
+              pic_w: int | None = None, pic_h: int | None = None,
+              ibt: int = 0):
     """-> (canNo, canQt, canBh, canBv, canTh, canTv).
 
     QTBTPartitioner::canSplit parity (UnitPartitioner.cpp:458) for
-    in-picture luma blocks, single tree, intra/inter-agnostic (no
+    luma blocks, single tree, intra/inter-agnostic (no
     MODE_TYPE_INTER small-block rules yet).
 
     last_split: the split that produced this block (QT_SPLIT also stands
     for CTU level); QT is disallowed below any MTT split.
     tt_mid_of: BT_H/BT_V when this is the middle child of a TT split in
     that direction (parallel-BT restriction), else None.
+    x/y/pic_w/pic_h/ibt: block position, picture bounds and implicit-BT
+    depth for picture-border implicit splits (UnitPartitioner.cpp:396:
+    with an implicit split active only that BT — or QT — is legal, and
+    none of the size/depth BT restrictions apply).
     """
     mx_tb = pc.max_tb_size
     min_bt = min_tt = pc.min_cu
@@ -51,7 +91,16 @@ def can_split(w: int, h: int, qt_depth: int, mtt_depth: int,
     can_qt = (last_split in (QT_SPLIT, NO_SPLIT)) and w > pc.min_qt
     can_bh = can_bv = can_th = can_tv = True
 
-    can_btt = mtt_depth < pc.max_mtt_depth
+    impl = implicit_split(x, y, w, h, pc, pic_w, pic_h, last_split,
+                          mtt_depth, ibt)
+    if impl != NO_SPLIT:
+        can_bh = impl == BT_H
+        can_bv = impl == BT_V
+        if not can_bh and not can_bv and not can_qt:
+            can_qt = True
+        return False, can_qt, can_bh, can_bv, False, False
+
+    can_btt = mtt_depth < pc.max_mtt_depth + ibt
     if can_btt and (w <= min_bt and h <= min_bt and w <= min_tt
                     and h <= min_tt):
         can_btt = False

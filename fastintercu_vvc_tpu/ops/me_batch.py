@@ -54,7 +54,13 @@ class MeHints:
                  search_range: int):
         H, W = org.shape
         bs = self.BS
-        assert H % bs == 0 and W % bs == 0
+        if H % bs or W % bs:
+            # arbitrary picture sizes: edge-pad to the block grid (the
+            # padded area only dilutes border-block SADs — hints stay
+            # hints, the per-CU refinement recovers)
+            ph, pw = -H % bs, -W % bs
+            org = np.pad(org, ((0, ph), (0, pw)), mode="edge")
+            ref = np.pad(ref, ((0, ph), (0, pw)), mode="edge")
         dy, dx, sad = _full_search(jnp.asarray(org), jnp.asarray(ref),
                                    bs, int(search_range))
         self.dy = np.array(dy)
