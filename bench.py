@@ -71,7 +71,7 @@ def main():
 
     w = h = 256
     qp = 32
-    n = 3
+    n = 8
     frames = synth_frames(w, h, n)
     cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_400,
                         ctu_size=64, min_qt_intra=16, min_qt_inter=16,
@@ -82,12 +82,20 @@ def main():
     d0 = batch_search.search_intra_frame(frames[0], cfg, qp)
     fe.encode_frame(frames[0], qp=qp, decisions=d0)
 
+    # pipelined: frame n+1's device search overlaps frame n's host
+    # commit pass (single dispatch + single packed download per frame)
     t0 = time.perf_counter()
     bits = 0
+    handle = batch_search.search_intra_frame_start(frames[0], cfg, qp)
     for poc, f in enumerate(frames):
-        dec = batch_search.search_intra_frame(f, cfg, qp)
+        nxt = None
+        if poc + 1 < n:
+            nxt = batch_search.search_intra_frame_start(
+                frames[poc + 1], cfg, qp)
+        dec = batch_search.search_intra_frame_finish(handle)
         r = fe.encode_frame(f, poc=poc, qp=qp, decisions=dec)
         bits += r.num_bits
+        handle = nxt
     dt = time.perf_counter() - t0
     fps = n / dt
 

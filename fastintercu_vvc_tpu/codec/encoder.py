@@ -903,9 +903,16 @@ class FrameEncoder:
                     self._compress_cu(cx, cy, cw, ch, nqt, nmt, chosen,
                                       None, nibt)
             else:
-                self._encode_leaf(x, y, w, h, qt_depth,
-                                  forced_mode=self.decisions.mode.get(
-                                      (x, y, w)))
+                # lookup_mode resolves implicit-border leaf geometry
+                # (BT children) against the covering search-level grid
+                fm = self.decisions.lookup_mode(x, y, w, h)
+                if fm is None:
+                    fm = intra.PLANAR_IDX
+                if isinstance(fm, tuple) and (self.slice_type ==
+                                              hls.I_SLICE or
+                                              not self.refs):
+                    fm = intra.PLANAR_IDX
+                self._encode_leaf(x, y, w, h, qt_depth, forced_mode=fm)
             return 0.0
 
         options = []
@@ -1022,6 +1029,20 @@ class FrameEncoder:
             if m not in cands:
                 cands.append(m)
         return cands, preds
+
+    def _mode_candidates_native(self, x, y, w, h, mpm):
+        """Native twin of _mode_candidates (same pool, SADs and pick
+        order — ck_mode_sads builds identical reference samples)."""
+        pool = sorted(set(self._FAST_POOL) | set(mpm))
+        _, sad_arr = native.mode_sads(
+            self.org, self.recon, self.maps.coded, x, y, w, h,
+            self.cfg.bit_depth, pool, xmax=self.wpp_xmax)
+        order = sorted((int(s), m) for s, m in zip(sad_arr, pool))
+        cands = [m for _, m in order[:self.num_mode_cands]]
+        for m in mpm[:2]:
+            if m not in cands:
+                cands.append(m)
+        return cands, {}
 
     # (hor, ver) transform kinds per mts_idx (MtsType, CommonDef.h;
     # getTrTypes TransformUnit semantics: 1 DST7/DST7, 2 DCT8/DST7,
@@ -1424,11 +1445,15 @@ class FrameEncoder:
             _EncState.restore(enc, base_state)
 
         # ----- intra candidates -----
-        top, left = intra.build_refs_grid(self.recon, x, y, w, h,
-                                          self.cfg.bit_depth,
-                                          self.maps.coded, xmax=self.wpp_xmax)
         mpm = self._mpms(x, y, w, h)
-        cands, preds = self._mode_candidates(blk, top, left, w, h, mpm)
+        if self._native_intra_ok() and w <= 64 and h <= 64:
+            cands, preds = self._mode_candidates_native(x, y, w, h, mpm)
+        else:
+            top, left = intra.build_refs_grid(
+                self.recon, x, y, w, h, self.cfg.bit_depth,
+                self.maps.coded, xmax=self.wpp_xmax)
+            cands, preds = self._mode_candidates(blk, top, left, w, h,
+                                                 mpm)
         for m in cands:
             trial = self._eval_intra_mode(x, y, w, h, blk, m,
                                           pred=preds.get(m))
@@ -1631,12 +1656,30 @@ class FrameEncoder:
         """CU::isMTSAllowed for intra luma (UnitTools.cpp:3799)."""
         return (self.cfg.mts_intra and w <= 32 and h <= 32)
 
+    def _native_intra_ok(self):
+        """The native commit kernel covers the scalar-quant luma path
+        (no dep-quant, no SDH; MTS/TS trials handled in C)."""
+        if self.cfg.dep_quant or self._sdh_active():
+            return False
+        return native._ck() is not None
+
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None,
                          mrl=0):
         tiles = _tu_tiles(w, h)
         if len(tiles) > 1:
             return self._eval_intra_multi_tu(x, y, w, h, mode, tiles)
+        if self._native_intra_ok():
+            q, recon, cbf, mts_idx, ts, ssd = native.eval_intra(
+                self.org, self.recon, self.maps.coded, x, y, w, h,
+                mode, self.qp_eff, self.cfg.bit_depth, self.lam,
+                is_irap=self.slice_type == hls.I_SLICE,
+                mts_allowed=self._mts_allowed(w, h),
+                ts_allowed=self._ts_allowed(w, h), mrl=mrl,
+                xmax=self.wpp_xmax)
+            return self._finish_intra_trial(x, y, w, h, mode, mrl, q,
+                                            recon, cbf, mts_idx, ts,
+                                            ssd)
         if pred is None:
             top, left = intra.build_refs_grid(self.recon, x, y, w, h,
                                               self.cfg.bit_depth,
@@ -1667,6 +1710,11 @@ class FrameEncoder:
                     self._coeff_cost_proxy(blk, recon, q):
                 q, recon, cbf, ts = q2, recon2, cbf2, True
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        return self._finish_intra_trial(x, y, w, h, mode, mrl, q,
+                                        recon, cbf, mts_idx, ts, ssd)
+
+    def _finish_intra_trial(self, x, y, w, h, mode, mrl, q, recon, cbf,
+                            mts_idx, ts, ssd):
         tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
               "recon": recon, "chroma": None, "ts": ts}
         chroma_mode = "dm"
@@ -1714,14 +1762,24 @@ class FrameEncoder:
             save_cb = self.recon_cb[csl].copy()
             save_cr = self.recon_cr[csl].copy()
         tus, ssd = [], 0.0
+        use_native = self._native_intra_ok()
         for (dx, dy, tw, th) in tiles:
             tx, ty = x + dx, y + dy
-            top, left = intra.build_refs_grid(self.recon, tx, ty, tw, th,
-                                              bd, self.maps.coded, xmax=self.wpp_xmax)
-            pred = intra.predict(mode, top, left, tw, th, bd)
             tblk = self.org[ty:ty + th, tx:tx + tw]
-            q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
-            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
+            if use_native:
+                q, recon, cbf, _, _, tssd = native.eval_intra(
+                    self.org, self.recon, self.maps.coded, tx, ty, tw,
+                    th, mode, self.qp_eff, bd, self.lam,
+                    is_irap=self.slice_type == hls.I_SLICE,
+                    xmax=self.wpp_xmax)
+                ssd += tssd
+            else:
+                top, left = intra.build_refs_grid(
+                    self.recon, tx, ty, tw, th, bd, self.maps.coded,
+                    xmax=self.wpp_xmax)
+                pred = intra.predict(mode, top, left, tw, th, bd)
+                q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
+                ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
             tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
                   "cbf": cbf, "recon": recon, "chroma": None}
             self.recon[ty:ty + th, tx:tx + tw] = recon

@@ -16,13 +16,15 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libcabac.so")
 _SRCS = [os.path.join(_DIR, "cabac_engine.c"),
-         os.path.join(_DIR, "residual_ops.c")]
+         os.path.join(_DIR, "residual_ops.c"),
+         os.path.join(_DIR, "commit_kernel.c")]
 
 _lib = None
 
 
 def _build():
-    subprocess.run(["cc", "-O2", "-shared", "-fPIC", *_SRCS, "-o", _SO],
+    subprocess.run(["cc", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _SO,
+                    "-lm"],
                    check=True, capture_output=True)
 
 
@@ -44,6 +46,40 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint32)]
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ck_init.restype = None
+        lib.ck_init.argtypes = [_i32p, ctypes.c_int64]
+        lib.ck_ready.restype = ctypes.c_int
+        lib.ck_eval_intra.restype = None
+        lib.ck_eval_intra.argtypes = [
+            _i32p, _i32p, ctypes.c_int, ctypes.c_int,     # org, recon, W, H
+            _u8p, ctypes.c_int, ctypes.c_int,              # coded, gw, gh
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # x y w h
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,      # mode, mrl, qp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,      # bd, flags, xmax
+            ctypes.c_double,                               # lam
+            _i32p, _i32p, _i32p,                           # q, recon, meta
+            ctypes.POINTER(ctypes.c_double)]               # ssd
+        lib.ck_mode_sads.restype = None
+        lib.ck_mode_sads.argtypes = [
+            _i32p, _i32p, ctypes.c_int, ctypes.c_int,
+            _u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int64)]
+        lib.ck_predict.restype = None
+        lib.ck_predict.argtypes = [
+            ctypes.c_int, _i32p, _i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, _i32p]
+        lib.ck_fwd_xform.restype = None
+        lib.ck_fwd_xform.argtypes = [_i32p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, _i32p]
+        lib.ck_inv_xform.restype = None
+        lib.ck_inv_xform.argtypes = [_i32p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, _i32p]
         lib.residual_ops.restype = ctypes.c_int64
         lib.residual_ops.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -108,6 +144,83 @@ def cabac_run(ops: np.ndarray, bank) -> tuple[bytes, tuple[int, int]]:
     bank.state0[:] = s0
     bank.state1[:] = s1
     return bytes(out[:n]), (int(tail[0]), int(tail[1]))
+
+
+# ---------------------------------------------------------------------------
+# commit kernel (native intra leaf evaluation — commit_kernel.c)
+
+_ck_ready = False
+
+# MTS kind mapping matches commit_kernel.c (K_DCT2=0, K_DCT8=1, K_DST7=2)
+# == ops/transforms.py DCT2/DCT8/DST7 constants.
+
+
+def _ck():
+    """Library with transform matrices installed, or None."""
+    global _ck_ready
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not _ck_ready:
+        from ..ops import rom
+        parts = [np.asarray(rom.trans_matrix("DCT2", s), np.int32).ravel()
+                 for s in (4, 8, 16, 32, 64)]
+        parts += [np.asarray(rom.trans_matrix("DST7", s), np.int32).ravel()
+                  for s in (4, 8, 16, 32)]
+        parts += [np.asarray(rom.trans_matrix("DCT8", s), np.int32).ravel()
+                  for s in (4, 8, 16, 32)]
+        buf = np.ascontiguousarray(np.concatenate(parts), np.int32)
+        lib.ck_init(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    len(buf))
+        assert lib.ck_ready(), "commit kernel matrix install failed"
+        _ck_ready = True
+    return lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def eval_intra(org, recon, coded, x, y, w, h, mode, qp_eff, bd, lam,
+               is_irap=False, mts_allowed=False, ts_allowed=False,
+               mrl=0, xmax=None):
+    """Native _eval_intra_mode core (luma, scalar quant): refs ->
+    predict -> (MTS/TS trials) -> T/Q/IQ/IT -> recon block.
+    -> (q [h,w], recon [h,w], cbf, mts_idx, ts, ssd)."""
+    lib = _ck()
+    gh, gw = coded.shape
+    q = np.empty((h, w), np.int32)
+    rec = np.empty((h, w), np.int32)
+    meta = np.zeros(3, np.int32)
+    ssd = np.zeros(1, np.float64)
+    flags = (1 if is_irap else 0) | ((1 if mts_allowed else 0) << 1) \
+        | ((1 if ts_allowed else 0) << 2)
+    lib.ck_eval_intra(
+        _i32p(org), _i32p(recon), org.shape[1], org.shape[0],
+        coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), gw, gh,
+        x, y, w, h, mode, mrl, qp_eff, bd, flags,
+        -1 if xmax is None else int(xmax), float(lam),
+        _i32p(q), _i32p(rec), _i32p(meta),
+        ssd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return (q, rec, bool(meta[0]), int(meta[1]), bool(meta[2]),
+            float(ssd[0]))
+
+
+def mode_sads(org, recon, coded, x, y, w, h, bd, modes, xmax=None):
+    """Native candidate screening: predict each mode and SAD it against
+    the org block. -> (preds [n,h,w], sads [n])."""
+    lib = _ck()
+    gh, gw = coded.shape
+    m = np.ascontiguousarray(modes, np.int32)
+    preds = np.empty((len(m), h, w), np.int32)
+    sads = np.empty(len(m), np.int64)
+    lib.ck_mode_sads(
+        _i32p(org), _i32p(recon), org.shape[1], org.shape[0],
+        coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), gw, gh,
+        x, y, w, h, bd, -1 if xmax is None else int(xmax),
+        _i32p(m), len(m), _i32p(preds),
+        sads.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return preds, sads
 
 
 class OpRecorder:
