@@ -135,6 +135,17 @@ def _encode(args) -> int:
             res = gop.SequenceResult(annexb(nals), recons, bits, types)
         else:
             res = se.encode(frames, qp=args.qp)
+    elif args.gop > 1:
+        # hierarchical-B random access (CTC-style GOP pyramid with the
+        # per-temporal-layer QP cascade and open-GOP CRA anchors)
+        depth = max(1, args.gop.bit_length() - 1)
+        cfg.num_reorder_pics = max(cfg.num_reorder_pics, depth)
+        cfg.max_dec_pic_buffering = max(cfg.max_dec_pic_buffering,
+                                        depth + 4)
+        se = gop.RandomAccessEncoder(
+            cfg, gop_size=args.gop, hierarchical_qp=True,
+            intra_period=args.intra_period, me_range=args.me_range)
+        res = se.encode(frames, qp=args.qp)
     else:
         rc = None
         if args.bitrate:
@@ -227,6 +238,9 @@ def main(argv=None) -> int:
     e.add_argument("--min-qt", type=int, default=16)
     e.add_argument("--max-mtt", type=int, default=0)
     e.add_argument("--intra-period", type=int, default=0)
+    e.add_argument("--gop", type=int, default=1,
+                   help="mini-GOP size >1 = hierarchical-B random "
+                        "access with the CTC QP cascade")
     e.add_argument("--me-range", type=int, default=8)
     e.add_argument("--refs", type=int, default=1,
                    help="active reference frames per list")

@@ -388,10 +388,13 @@ class FrameEncoder:
     def encode_frame(self, org, poc: int = 0, qp: int | None = None,
                      slice_type: int = hls.I_SLICE, refs=None,
                      refs_l1=None, decisions=None, active_l0=None,
-                     active_l1=None) -> FrameResult:
+                     active_l1=None, nal_type: int | None = None,
+                     temporal_id: int = 0) -> FrameResult:
         """org: luma plane (4:0:0) or (y, u, v) tuple (4:2:0).
         refs: L0 list of (poc, FrameResult-or-tuple); refs_l1: L1 list
-        for B slices. decisions: optional batched-search decisions."""
+        for B slices. decisions: optional batched-search decisions.
+        nal_type: override (e.g. NAL_CRA for open-GOP I anchors,
+        NAL_RASL for their leading pictures)."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         if self.chroma:
@@ -609,22 +612,33 @@ class FrameEncoder:
             else:
                 payload, tail = enc.finish(), enc.tail_bits()
         if slice_type == hls.I_SLICE:
+            nt = hls.NAL_IDR_N_LP if nal_type is None else nal_type
+            # CRA (open GOP): the RPL entries retain the DPB pictures
+            # that the following RASL pictures still reference (the
+            # decoder drops anything the current RPL doesn't list)
+            deltas0 = tuple(p - poc for p in self.ref_pocs) \
+                if nt == hls.NAL_CRA else ()
             pic = hls.PicConfig(poc=poc, slice_type=hls.I_SLICE,
-                                nal_type=hls.NAL_IDR_N_LP, qp=qp)
+                                nal_type=nt, qp=qp,
+                                ref_deltas_l0=deltas0,
+                                temporal_id=temporal_id)
         else:
             deltas0 = tuple(p - poc for p in self.ref_pocs)
             deltas1 = tuple(p - poc for p in self.ref_pocs_l1)
+            nt = hls.NAL_TRAIL if nal_type is None else nal_type
             pic = hls.PicConfig(poc=poc, slice_type=slice_type,
-                                nal_type=hls.NAL_TRAIL, qp=qp,
+                                nal_type=nt, qp=qp,
                                 is_irap=False, ref_deltas_l0=deltas0,
                                 ref_deltas_l1=deltas1,
                                 active_l0=self.n_act0,
-                                active_l1=self.n_act1)
+                                active_l1=self.n_act1,
+                                temporal_id=temporal_id)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
         if cfg.picture_hash:
             sei = hls.sei_picture_hash_nal(
                 self.recon, self.recon_cb if self.chroma else None,
-                self.recon_cr if self.chroma else None)
+                self.recon_cr if self.chroma else None,
+                temporal_id=temporal_id)
             bs += b"\x00\x00\x00\x01" + sei
         cu_map = (self.maps.cu_w.astype(np.int64) << 16) | self.maps.cu_h
         if trace.enabled("cu"):

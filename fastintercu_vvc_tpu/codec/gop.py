@@ -210,6 +210,34 @@ class BatchedSequenceEncoder:
         return SequenceResult(annexb(nals), recons, bits, types)
 
 
+# CTC RA GOP QP cascade (encoder_randomaccess_vtm.cfg:20-52 Frame1-32
+# table, collapsed per temporal layer): tid -> (QPoffset,
+# QPOffsetModelOff, QPOffsetModelScale).  Applied per
+# EncCfg::getQPForPicture (EncLib.cpp:2314): qp += QPoffset, then
+# qp += floor(clip(qp*scale + off + 0.5, 0, 3)).
+CTC_RA_QP_MODEL = {
+    0: (-1, 0.0, 0.0),
+    1: (0, -4.9309, 0.2265),
+    2: (0, -4.5000, 0.2353),
+    3: (3, -5.4095, 0.2571),
+    4: (5, -4.4895, 0.1947),
+    5: (6, -5.4429, 0.2429),
+}
+CTC_INTRA_QP_OFFSET = -3          # cfg IntraQPOffset
+
+
+def ctc_qp_for(base_qp: int, tid: int, is_intra: bool = False) -> int:
+    """Per-picture QP for the CTC RA hierarchy (getQPForPicture
+    parity)."""
+    if is_intra:
+        return base_qp + CTC_INTRA_QP_OFFSET
+    off, moff, mscale = CTC_RA_QP_MODEL[min(tid, max(CTC_RA_QP_MODEL))]
+    qp = base_qp + off
+    d = qp * mscale + moff + 0.5
+    qp += int(np.floor(min(3.0, max(0.0, d))))
+    return qp
+
+
 class RandomAccessEncoder:
     """Hierarchical-B random-access encoder (capability parity with the
     CTC RA config's GOP pyramid, EncGOP::compressGOP coding-order
@@ -219,12 +247,20 @@ class RandomAccessEncoder:
     anchor), then the dyadic midpoints as B slices with L0 = nearest
     past coded frame, L1 = nearest future coded frame.
 
+    hierarchical_qp: apply the CTC per-temporal-layer QP cascade
+    (Frame1-32 table; EncSlice::initEncSlice -> getQPForPicture) —
+    anchors tid 0 get base-1, midpoints ramp up to base+6+model.
+    intra_period: POC period of I anchors (CTC: 32; encoded as IDR —
+    closed-GOP simplification of the CTC's CRA).
+
     The SPS must be configured with num_reorder_pics >= log2(gop_size)
     and max_dec_pic_buffering >= 4 (the caller's SeqConfig).
     """
 
     def __init__(self, cfg: hls.SeqConfig, gop_size: int = 4,
-                 mctf: bool = False, **enc_kwargs):
+                 mctf: bool = False, hierarchical_qp: bool = False,
+                 intra_period: int = 0, active_refs: int = 2,
+                 **enc_kwargs):
         assert gop_size & (gop_size - 1) == 0, "gop_size must be 2^n"
         assert cfg.num_reorder_pics >= max(
             1, gop_size.bit_length() - 1), \
@@ -232,6 +268,9 @@ class RandomAccessEncoder:
         self.cfg = cfg
         self.gop_size = gop_size
         self.mctf = mctf
+        self.hierarchical_qp = hierarchical_qp
+        self.intra_period = intra_period
+        self.active_refs = active_refs
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
     def _gop_coding_order(self, lo: int, hi: int):
@@ -268,8 +307,16 @@ class RandomAccessEncoder:
             done[poc] = r
             order_log.append((poc, typ, r.num_bits))
 
+        base_qp = qp if qp is not None else self.cfg.qp
+
+        def pic_qp(tid, is_intra=False):
+            if not self.hierarchical_qp:
+                return qp
+            return ctc_qp_for(base_qp, tid, is_intra)
+
         # IDR
-        r = self.frame_encoder.encode_frame(frames[0], poc=0, qp=qp,
+        r = self.frame_encoder.encode_frame(frames[0], poc=0,
+                                            qp=pic_qp(0, True),
                                             slice_type=hls.I_SLICE)
         emit(0, r, "I")
 
@@ -277,10 +324,25 @@ class RandomAccessEncoder:
         while base < n - 1:
             anchor = min(base + self.gop_size, n - 1)
             order = self._gop_coding_order(base, anchor)
-            r = self.frame_encoder.encode_frame(
-                frames[anchor], poc=anchor, qp=qp,
-                slice_type=hls.P_SLICE, refs=[(base, done[base])])
-            emit(anchor, r, "P")
+            cra_gop = False
+            if self.intra_period > 0 and anchor % self.intra_period == 0:
+                # open-GOP I anchor: CRA; the GOP's leading B pictures
+                # (decoded after, output before) become RASL and may
+                # legally reference pre-CRA pictures
+                cra_gop = True
+                # refs are not used for prediction (I slice) but must
+                # appear in the CRA's RPL so the DPB keeps them for
+                # the RASL leading pictures
+                r = self.frame_encoder.encode_frame(
+                    frames[anchor], poc=anchor, qp=pic_qp(0, True),
+                    slice_type=hls.I_SLICE, nal_type=hls.NAL_CRA,
+                    refs=[(base, done[base])])
+                emit(anchor, r, "I")
+            else:
+                r = self.frame_encoder.encode_frame(
+                    frames[anchor], poc=anchor, qp=pic_qp(0),
+                    slice_type=hls.P_SLICE, refs=[(base, done[base])])
+                emit(anchor, r, "P")
             for i, (poc, l0, l1, tid) in enumerate(order):
                 # DPB retention: the RPL must list every picture still
                 # needed by later frames of this GOP (and the anchor for
@@ -300,8 +362,13 @@ class RandomAccessEncoder:
                 refs_l0 = [(p2, done[p2]) for p2 in past]
                 refs_l1 = [(p2, done[p2]) for p2 in future]
                 r = self.frame_encoder.encode_frame(
-                    frames[poc], poc=poc, qp=qp, slice_type=hls.B_SLICE,
-                    refs=refs_l0, refs_l1=refs_l1)
+                    frames[poc], poc=poc, qp=pic_qp(tid),
+                    slice_type=hls.B_SLICE,
+                    refs=refs_l0, refs_l1=refs_l1,
+                    active_l0=min(self.active_refs, len(refs_l0)),
+                    active_l1=min(self.active_refs, len(refs_l1)),
+                    nal_type=hls.NAL_RASL if cra_gop else None,
+                    temporal_id=tid)
                 emit(poc, r, "B")
             base = anchor
 

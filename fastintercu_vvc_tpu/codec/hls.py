@@ -24,6 +24,8 @@ from ..utils.bitstream import BitWriter, nal_unit, annexb
 
 # NAL unit types (spec Table 5; TypeDef.h:776-810)
 NAL_TRAIL = 0
+NAL_RADL = 2
+NAL_RASL = 3
 NAL_IDR_W_RADL = 7
 NAL_IDR_N_LP = 8
 NAL_CRA = 9
@@ -457,11 +459,13 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         if cfg.chroma_enabled:
             w.write(0, 1)               # sh_alf_cb_enabled_flag
             w.write(0, 1)               # sh_alf_cr_enabled_flag
-    if not intra_only:
-        # explicit ref_pic_lists in the slice header (sps has 0 RPL
-        # candidates; IDR has no RPL since sps_idr_rpl_present=0)
+    # ref_pic_lists: present unless IDR (sps_idr_rpl_present=0) —
+    # i.e. also for CRA I-slices, as empty lists (spec 7.3.7.1)
+    if not intra_only or pic.nal_type not in (NAL_IDR_N_LP,
+                                              NAL_IDR_W_RADL):
         _write_rpl(w, pic.ref_deltas_l0)
         _write_rpl(w, pic.ref_deltas_l1)
+    if not intra_only:
         # num_ref_idx_active_override (VLCWriter.cpp:2380 area):
         # with pps defaults of 1, override is needed whenever more
         # than one reference should be active
@@ -516,7 +520,8 @@ def slice_nal(cfg: SeqConfig, pic: PicConfig, cabac_payload: bytes,
     return nal_unit(w.get_bytes(), pic.nal_type, temporal_id=pic.temporal_id)
 
 
-def sei_picture_hash_nal(recon_y, recon_cb=None, recon_cr=None) -> bytes:
+def sei_picture_hash_nal(recon_y, recon_cb=None, recon_cr=None,
+                         temporal_id: int = 0) -> bytes:
     """Suffix-SEI decoded_picture_hash (MD5) NAL: payload type 132
     (SEIwrite.cpp:217 xWriteSEIDecodedPictureHash; PicYuvMD5.cpp
     md5_plane: samples little-endian, 2 bytes at 10-bit). The
@@ -539,7 +544,9 @@ def sei_picture_hash_nal(recon_y, recon_cb=None, recon_cr=None) -> bytes:
         for byte in digest:
             w.write(byte, 8)
     w.write_byte_alignment()            # rbsp trailing bits
-    return nal_unit(w.get_bytes(), NAL_SUFFIX_SEI)
+    # SEI TemporalId must equal the containing AU's (spec 7.4.2.2)
+    return nal_unit(w.get_bytes(), NAL_SUFFIX_SEI,
+                    temporal_id=temporal_id)
 
 
 def bitstream_for_frames(cfg: SeqConfig, frames: list) -> bytes:
