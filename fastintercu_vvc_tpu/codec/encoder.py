@@ -1326,7 +1326,34 @@ class FrameEncoder:
                 best = (c, outs, cm, 0)
         return best[1], best[2], best[3]
 
-    def _motion_pred_luma(self, x, y, w, h, mi):
+    def _identical_motion(self, mi):
+        """xCheckIdenticalMotion (InterPrediction.cpp): bi with both
+        lists naming the same picture and the same MV collapses to an
+        L0 uni prediction (B slices, no weighted pred)."""
+        return (mi.inter_dir == 3
+                and self.slice_type == hls.B_SLICE
+                and self.ref_pocs[mi.ref0] == self.ref_pocs_l1[mi.ref1]
+                and mi.mv0 == mi.mv1)
+
+    def _bdof_cond(self, w, h, mi):
+        """BDOF application conditions (InterPrediction.cpp:533-569 +
+        PU::isBiPredFromDifferentDirEqDistPoc): true bi, default BCW
+        weight, >=8x8 with >=128 samples, refs on opposite sides at
+        equal POC distance.  CIIP/SMVD exclusions are the caller's
+        (allow_bdof)."""
+        if not self.cfg.bdof or mi.inter_dir != 3:
+            return False
+        if mi.bcw != inter.BCW_DEFAULT:
+            return False
+        if w < 8 or h < 8 or w * h < 128:
+            return False
+        p0 = self.ref_pocs[mi.ref0]
+        p1 = self.ref_pocs_l1[mi.ref1]
+        if (self.poc - p0) * (self.poc - p1) >= 0:
+            return False
+        return abs(self.poc - p0) == abs(self.poc - p1)
+
+    def _motion_pred_luma(self, x, y, w, h, mi, allow_bdof=False):
         bd = self.cfg.bit_depth
         if mi.inter_dir == 1:
             return inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
@@ -1334,6 +1361,13 @@ class FrameEncoder:
         if mi.inter_dir == 2:
             return inter.mc_luma(self.refs_l1[mi.ref1][1], x, y, w, h,
                                  mi.mv1, bd)
+        if self._identical_motion(mi):
+            return inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
+                                 mi.mv0, bd)
+        if allow_bdof and self._bdof_cond(w, h, mi):
+            return inter.bdof_bi_luma(
+                self.refs[mi.ref0][1], self.refs_l1[mi.ref1][1],
+                x, y, w, h, mi.mv0, mi.mv1, bd)
         a = inter.mc_luma_intermediate(self.refs[mi.ref0][1], x, y, w, h,
                                        mi.mv0, bd)
         b = inter.mc_luma_intermediate(self.refs_l1[mi.ref1][1], x, y,
@@ -1348,6 +1382,9 @@ class FrameEncoder:
         if mi.inter_dir == 2:
             return inter.mc_chroma(self.refs_l1[mi.ref1][2 + plane_idx],
                                    xc, yc, wc, hc, mi.mv1, bd)
+        if self._identical_motion(mi):
+            return inter.mc_chroma(self.refs[mi.ref0][2 + plane_idx],
+                                   xc, yc, wc, hc, mi.mv0, bd)
         a = inter.mc_chroma_intermediate(
             self.refs[mi.ref0][2 + plane_idx], xc, yc, wc, hc, mi.mv0, bd)
         b = inter.mc_chroma_intermediate(
@@ -1899,14 +1936,17 @@ class FrameEncoder:
             return None
         return mv, mvp_idx, mvd, ridx, best_cost, best_int
 
-    def _inter_trial_tus(self, x, y, w, h, mi):
+    def _inter_trial_tus(self, x, y, w, h, mi, smvd=False):
         """Motion-compensated prediction + per-TU transform/quant.
-        MC is position-independent, so each TU tile is predicted
+        MC is position-independent (BDOF's 16x16 sub-PU grid aligns
+        with the 64-sample TU tiling), so each TU tile is predicted
         directly at its own coordinates."""
+        allow_bdof = not smvd
         tus, ssd = [], 0.0
         for (dx, dy, tw, th) in _tu_tiles(w, h):
             tx, ty = x + dx, y + dy
-            pred = self._motion_pred_luma(tx, ty, tw, th, mi)
+            pred = self._motion_pred_luma(tx, ty, tw, th, mi,
+                                          allow_bdof=allow_bdof)
             tblk = self.org[ty:ty + th, tx:tx + tw]
             q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
             ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
@@ -1921,7 +1961,8 @@ class FrameEncoder:
         return tus, ssd
 
     def _finish_inter_trial(self, x, y, w, h, blk, mi, sig):
-        tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
+        tus, ssd = self._inter_trial_tus(x, y, w, h, mi,
+                                         smvd="smvd" in sig)
         return {"mi": mi, "sig": sig, "tus": tus, "ssd": ssd}
 
     def _try_inter_amvp(self, x, y, w, h, blk):
@@ -2192,7 +2233,9 @@ class FrameEncoder:
         keeps TU dims >= 8 so all deblocking edges stay on the 8-grid."""
         mi = base_trial["mi"]
         bd = self.cfg.bit_depth
-        pred = self._motion_pred_luma(x, y, w, h, mi)
+        pred = self._motion_pred_luma(
+            x, y, w, h, mi,
+            allow_bdof="smvd" not in base_trial.get("sig", {}))
         res = (blk - pred).astype(np.int64)
         energy = res * res
         cands = []

@@ -234,6 +234,126 @@ def mc_chroma_intermediate(ref: np.ndarray, xc: int, yc: int, w: int,
     return (acc >> IF_FILTER_PREC).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# BDOF (bi-directional optical flow) — InterPrediction::applyBiOptFlow
+# (InterPrediction.cpp:1246), gradient kernels Buffer.cpp gradFilterCore
+# (:114) / calcBIOSumsCore (:157) / addBIOAvgCore, integer-sample border
+# fill xPredInterBlk (:743-822).  Processing blocks are
+# min(w,16) x min(h,16) sub-PUs (xSubPuBio split at
+# MAX_BDOF_APPLICATION_REGION=16), each with its own 1-sample border.
+
+def _bdof_ext_pred(ref, x, y, w, h, mv, bd):
+    """(h+2, w+2) extended internal-domain prediction: interpolated
+    inner block, ring from nearest-integer reference samples."""
+    mvx, mvy = mv
+    int_x = x + (mvx >> MV_FRAC_BITS)
+    int_y = y + (mvy >> MV_FRAC_BITS)
+    frac_x = mvx & 15
+    frac_y = mvy & 15
+    xo = 1 if frac_x < 8 else 0
+    yo = 1 if frac_y < 8 else 0
+    shift = IF_INTERNAL_PREC - bd
+    ext = np.zeros((h + 2, w + 2), np.int32)
+    ext[1:h + 1, 1:w + 1] = mc_luma_intermediate(ref, x, y, w, h, mv, bd)
+    top = _gather_clamped(ref, int_x - xo, int_y - yo, w + 2, 1)
+    bot = _gather_clamped(ref, int_x - xo, int_y + h + 1 - yo, w + 2, 1)
+    lft = _gather_clamped(ref, int_x - xo, int_y + 1 - yo, 1, h)
+    rgt = _gather_clamped(ref, int_x + w + 1 - xo, int_y + 1 - yo, 1, h)
+    ext[0, :] = (top[0] << shift) - IF_INTERNAL_OFFS
+    ext[h + 1, :] = (bot[0] << shift) - IF_INTERNAL_OFFS
+    ext[1:h + 1, 0] = (lft[:, 0] << shift) - IF_INTERNAL_OFFS
+    ext[1:h + 1, w + 1] = (rgt[:, 0] << shift) - IF_INTERNAL_OFFS
+    return ext
+
+
+def _bdof_grads(ext, w, h):
+    """BIO gradients over the extended grid (gradFilterCore: inner
+    (src[+1]>>6)-(src[-1]>>6), ring replicated)."""
+    gx = np.zeros_like(ext)
+    gy = np.zeros_like(ext)
+    gx[1:h + 1, 1:w + 1] = (ext[1:h + 1, 2:w + 2] >> 6) \
+        - (ext[1:h + 1, 0:w] >> 6)
+    gy[1:h + 1, 1:w + 1] = (ext[2:h + 2, 1:w + 1] >> 6) \
+        - (ext[0:h, 1:w + 1] >> 6)
+    for g in (gx, gy):
+        g[1:h + 1, 0] = g[1:h + 1, 1]
+        g[1:h + 1, w + 1] = g[1:h + 1, w]
+        g[0, :] = g[1, :]
+        g[h + 1, :] = g[h, :]
+    return gx, gy
+
+
+def _bdof_block(ref0, ref1, x, y, w, h, mv0, mv1, bd):
+    """BDOF for one processing block (w, h <= 16); -> pel block."""
+    e0 = _bdof_ext_pred(ref0, x, y, w, h, mv0, bd)
+    e1 = _bdof_ext_pred(ref1, x, y, w, h, mv1, bd)
+    gx0, gy0 = _bdof_grads(e0, w, h)
+    gx1, gy1 = _bdof_grads(e1, w, h)
+    # src ring re-padded by replication from the inner block (the
+    # integer-sample ring is only used for the gradients)
+    for e in (e0, e1):
+        e[1:h + 1, 0] = e[1:h + 1, 1]
+        e[1:h + 1, w + 1] = e[1:h + 1, w]
+        e[0, :] = e[1, :]
+        e[h + 1, :] = e[h, :]
+
+    shift_num = (IF_INTERNAL_PREC - bd) + 1
+    offset = (1 << (shift_num - 1)) + 2 * IF_INTERNAL_OFFS
+    limit = (1 << 4) - 1
+    out = np.zeros((h, w), np.int32)
+    for yu in range(h >> 2):
+        for xu in range(w >> 2):
+            sl = np.s_[yu * 4:yu * 4 + 6, xu * 4:xu * 4 + 6]
+            tgx = (gx0[sl].astype(np.int64) + gx1[sl]) >> 1
+            tgy = (gy0[sl].astype(np.int64) + gy1[sl]) >> 1
+            tdi = (e1[sl].astype(np.int64) >> 4) - (e0[sl] >> 4)
+            s_abs_gx = int(np.abs(tgx).sum())
+            s_abs_gy = int(np.abs(tgy).sum())
+            s_dix = int(np.where(tgx < 0, -tdi,
+                                 np.where(tgx == 0, 0, tdi)).sum())
+            s_diy = int(np.where(tgy < 0, -tdi,
+                                 np.where(tgy == 0, 0, tdi)).sum())
+            s_sgygx = int(np.where(tgy < 0, -tgx,
+                                   np.where(tgy == 0, 0, tgx)).sum())
+            if s_abs_gx == 0:
+                tmpx = 0
+            else:
+                tmpx = (s_dix << 2) >> (s_abs_gx.bit_length() - 1)
+                tmpx = min(limit, max(-limit, tmpx))
+            mains = s_sgygx >> 12
+            secs = s_sgygx & ((1 << 12) - 1)
+            tmp_data = ((tmpx * mains << 12) + tmpx * secs) >> 1
+            if s_abs_gy == 0:
+                tmpy = 0
+            else:
+                tmpy = ((s_diy << 2) - tmp_data) \
+                    >> (s_abs_gy.bit_length() - 1)
+                tmpy = min(limit, max(-limit, tmpy))
+            isl = np.s_[1 + yu * 4:1 + yu * 4 + 4,
+                        1 + xu * 4:1 + xu * 4 + 4]
+            b = (tmpx * (gx0[isl].astype(np.int64) - gx1[isl])
+                 + tmpy * (gy0[isl].astype(np.int64) - gy1[isl]))
+            val = (e0[isl].astype(np.int64) + e1[isl] + b + offset) \
+                >> shift_num
+            out[yu * 4:yu * 4 + 4, xu * 4:xu * 4 + 4] = \
+                np.clip(val, 0, (1 << bd) - 1)
+    return out
+
+
+def bdof_bi_luma(ref0, ref1, x, y, w, h, mv0, mv1,
+                 bit_depth: int = 10) -> np.ndarray:
+    """Bi-prediction with BDOF refinement for a luma PU (the caller
+    checks the application conditions; this handles the 16x16 sub-PU
+    split)."""
+    sw, sh = min(w, 16), min(h, 16)
+    out = np.zeros((h, w), np.int32)
+    for sy in range(0, h, sh):
+        for sx in range(0, w, sw):
+            out[sy:sy + sh, sx:sx + sw] = _bdof_block(
+                ref0, ref1, x + sx, y + sy, sw, sh, mv0, mv1, bit_depth)
+    return out
+
+
 def bi_avg(a: np.ndarray, b: np.ndarray, bit_depth: int = 10) -> np.ndarray:
     """PelBuf::addAvg parity: average two intermediate-domain preds back
     to the pel domain (Buffer.cpp:447-458)."""
