@@ -200,6 +200,12 @@ class _Maps:
         self.tu_w = np.zeros(shp, np.int32)
         self.tu_h = np.zeros(shp, np.int32)
         self.qp = np.zeros(shp, np.int32)
+        # DMVR refined-MV deltas (internal precision; applied +L0/-L1).
+        # Kept separate from mv0/mv1: spatial prediction and deblocking
+        # use the unrefined field, only the temporal motion export
+        # (ColMotion) sees the refinement (DecLib.cpp:644
+        # setRefinedMotionField runs after deblocking).
+        self.dmvr_d = np.zeros(shp + (2,), np.int32)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -217,6 +223,7 @@ class _Maps:
         self.bcw[sl] = inter.BCW_DEFAULT
         self.ciip[sl] = False
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
+        self.dmvr_d[sl] = 0
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
@@ -240,12 +247,14 @@ class _Maps:
         self.ciip[sl] = ciip
         self.skip[sl] = skip
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
+        self.dmvr_d[sl] = 0
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
-               "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h")
+               "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h",
+               "dmvr_d")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -480,6 +489,7 @@ class FrameEncoder:
             self.recon_cb = np.zeros((H // 2, W // 2), np.int32)
             self.recon_cr = np.zeros((H // 2, W // 2), np.int32)
         self.maps = _Maps(W, H)
+        self._dmvr_cache: dict = {}
         self.cu_log: dict = {}       # (x, y) -> (kind, trial) at commit
         self.hmvp: list[inter.MotionInfo] = []
         # batched integer-ME hints: one whole-frame device search per
@@ -690,8 +700,12 @@ class FrameEncoder:
                              hls.B_SLICE: 2}[slice_type]],
                         qp=qp, bits=len(bs) * 8, psnr_y=round(psnr, 3))
         m = self.maps
-        motion = inter.ColMotion(poc, m.inter_dir.copy(), m.mv0.copy(),
-                                 m.ref_poc.copy(), m.mv1.copy(),
+        # temporal motion export sees the DMVR-refined field
+        # (CS::setRefinedMotionField: +delta on L0, -delta on L1)
+        motion = inter.ColMotion(poc, m.inter_dir.copy(),
+                                 m.mv0 + m.dmvr_d,
+                                 m.ref_poc.copy(),
+                                 m.mv1 - m.dmvr_d,
                                  m.ref_poc1.copy())
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
                            (self.maps.inter_dir > 0).copy(),
@@ -1353,8 +1367,42 @@ class FrameEncoder:
             return False
         return abs(self.poc - p0) == abs(self.poc - p1)
 
-    def _motion_pred_luma(self, x, y, w, h, mi, allow_bdof=False):
+    def _dmvr_cond(self, w, h, mi):
+        """PU::checkDMVRCondition minus the merge-only/CIIP/MMVD gates
+        (the caller asserts those via use_dmvr)."""
+        if not self.cfg.dmvr or mi.inter_dir != 3:
+            return False
+        if mi.bcw != inter.BCW_DEFAULT:
+            return False
+        if w < 8 or h < 8 or w * h < 128:
+            return False
+        if self._identical_motion(mi):
+            return False
+        p0 = self.ref_pocs[mi.ref0]
+        p1 = self.ref_pocs_l1[mi.ref1]
+        if (self.poc - p0) * (self.poc - p1) >= 0:
+            return False
+        return abs(self.poc - p0) == abs(self.poc - p1)
+
+    def _dmvr_info(self, x, y, w, h, mi):
+        """Cached per-block DMVR refinement: (pred_luma, deltas [ny,nx,2]
+        internal, moved [ny,nx])."""
+        key = (x, y, w, h, mi.mv0, mi.mv1, mi.ref0, mi.ref1)
+        hit = self._dmvr_cache.get(key)
+        if hit is None:
+            H, W = self.org.shape
+            hit = inter.dmvr_refine_luma(
+                self.refs[mi.ref0][1], self.refs_l1[mi.ref1][1],
+                x, y, w, h, mi.mv0, mi.mv1, self.cfg.bit_depth,
+                W, H, self.cfg.ctu_size, self.cfg.bdof)
+            self._dmvr_cache[key] = hit
+        return hit
+
+    def _motion_pred_luma(self, x, y, w, h, mi, allow_bdof=False,
+                          use_dmvr=False):
         bd = self.cfg.bit_depth
+        if use_dmvr and self._dmvr_cond(w, h, mi):
+            return self._dmvr_info(x, y, w, h, mi)[0]
         if mi.inter_dir == 1:
             return inter.mc_luma(self.refs[mi.ref0][1], x, y, w, h,
                                  mi.mv0, bd)
@@ -1374,8 +1422,24 @@ class FrameEncoder:
                                        w, h, mi.mv1, bd)
         return inter.bcw_avg(a, b, mi.bcw, bd)
 
-    def _motion_pred_chroma(self, xc, yc, wc, hc, mi, plane_idx):
+    def _motion_pred_chroma(self, xc, yc, wc, hc, mi, plane_idx,
+                            use_dmvr=False):
         bd = self.cfg.bit_depth
+        if use_dmvr and self._dmvr_cond(2 * wc, 2 * hc, mi):
+            _, deltas, moved = self._dmvr_info(2 * xc, 2 * yc,
+                                               2 * wc, 2 * hc, mi)
+            H, W = self.org.shape
+            sub_w = min(2 * wc, inter.DMVR_SUBCU) // 2
+            sub_h = min(2 * hc, inter.DMVR_SUBCU) // 2
+            a = inter.dmvr_pred_chroma(
+                self.refs[mi.ref0][2 + plane_idx], xc, yc, wc, hc,
+                mi.mv0, deltas, bd, W, H, self.cfg.ctu_size,
+                sub_w, sub_h, moved)
+            b = inter.dmvr_pred_chroma(
+                self.refs_l1[mi.ref1][2 + plane_idx], xc, yc, wc, hc,
+                mi.mv1, -deltas, bd, W, H, self.cfg.ctu_size,
+                sub_w, sub_h, moved)
+            return inter.bi_avg(a, b, bd)
         if mi.inter_dir == 1:
             return inter.mc_chroma(self.refs[mi.ref0][2 + plane_idx],
                                    xc, yc, wc, hc, mi.mv0, bd)
@@ -1392,13 +1456,14 @@ class FrameEncoder:
             mi.mv1, bd)
         return inter.bcw_avg(a, b, mi.bcw, bd)
 
-    def _chroma_inter(self, x, y, w, h, mi):
+    def _chroma_inter(self, x, y, w, h, mi, use_dmvr=False):
         """-> (outs, joint_cbcr_mask); inter CUs only test mask 3."""
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
         preds, blks = [], []
         for pi, plane_o in enumerate((self.org_cb, self.org_cr)):
             preds.append(self._motion_pred_chroma(xc, yc, wc, hc, mi,
-                                                  pi))
+                                                  pi,
+                                                  use_dmvr=use_dmvr))
             blks.append(plane_o[yc:yc + hc, xc:xc + wc])
         return self._chroma_pair_eval(blks[0], preds[0], blks[1],
                                       preds[1], intra_cu=False)
@@ -1667,8 +1732,22 @@ class FrameEncoder:
 
     def _mark_tu_cbfs(self, trial):
         """Per-TU cbf granularity in the maps (TU-accurate deblocking
-        boundary strengths for multi-TU CUs)."""
+        boundary strengths for multi-TU CUs).  Also spans DMVR deltas
+        per sub-PU (setRefinedMotionField; consumed only by the
+        temporal motion export)."""
         m = self.maps
+        for tu in trial["tus"]:
+            if "dmvr" in tu:
+                deltas, sub_w, sub_h = tu["dmvr"]
+                ny, nx = deltas.shape[:2]
+                for iy in range(ny):
+                    for ix in range(nx):
+                        ssl = np.s_[
+                            (tu["y"] + iy * sub_h) // 4:
+                            (tu["y"] + (iy + 1) * sub_h) // 4,
+                            (tu["x"] + ix * sub_w) // 4:
+                            (tu["x"] + (ix + 1) * sub_w) // 4]
+                        m.dmvr_d[ssl] = deltas[iy, ix]
         for tu in trial["tus"]:
             sl = np.s_[tu["y"] // 4:(tu["y"] + tu["h"]) // 4,
                        tu["x"] // 4:(tu["x"] + tu["w"]) // 4]
@@ -1936,7 +2015,8 @@ class FrameEncoder:
             return None
         return mv, mvp_idx, mvd, ridx, best_cost, best_int
 
-    def _inter_trial_tus(self, x, y, w, h, mi, smvd=False):
+    def _inter_trial_tus(self, x, y, w, h, mi, smvd=False,
+                         is_merge=False):
         """Motion-compensated prediction + per-TU transform/quant.
         MC is position-independent (BDOF's 16x16 sub-PU grid aligns
         with the 64-sample TU tiling), so each TU tile is predicted
@@ -1945,15 +2025,22 @@ class FrameEncoder:
         tus, ssd = [], 0.0
         for (dx, dy, tw, th) in _tu_tiles(w, h):
             tx, ty = x + dx, y + dy
+            use_dmvr = is_merge and self._dmvr_cond(tw, th, mi)
             pred = self._motion_pred_luma(tx, ty, tw, th, mi,
-                                          allow_bdof=allow_bdof)
+                                          allow_bdof=allow_bdof,
+                                          use_dmvr=use_dmvr)
             tblk = self.org[ty:ty + th, tx:tx + tw]
             q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
             ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
             tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
                   "cbf": cbf, "recon": recon, "chroma": None}
+            if use_dmvr:
+                _, deltas, moved = self._dmvr_info(tx, ty, tw, th, mi)
+                tu["dmvr"] = (deltas, min(tw, inter.DMVR_SUBCU),
+                              min(th, inter.DMVR_SUBCU))
             if self.chroma:
-                ch, jmask = self._chroma_inter(tx, ty, tw, th, mi)
+                ch, jmask = self._chroma_inter(tx, ty, tw, th, mi,
+                                               use_dmvr=use_dmvr)
                 tu["chroma"] = ch
                 tu["joint_cbcr"] = jmask
                 ssd += ch[0][3] + ch[1][3]
@@ -2235,7 +2322,9 @@ class FrameEncoder:
         bd = self.cfg.bit_depth
         pred = self._motion_pred_luma(
             x, y, w, h, mi,
-            allow_bdof="smvd" not in base_trial.get("sig", {}))
+            allow_bdof="smvd" not in base_trial.get("sig", {}),
+            use_dmvr=base_trial.get("m_idx") is not None
+            and self._dmvr_cond(w, h, mi))
         res = (blk - pred).astype(np.int64)
         energy = res * res
         cands = []
@@ -2502,7 +2591,9 @@ class FrameEncoder:
                 "is_skip": False, "ciip": True}
 
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
-        tus, ssd = self._inter_trial_tus(x, y, w, h, mi)
+        # DMVR applies to regular merge only (m_idx None = MMVD)
+        tus, ssd = self._inter_trial_tus(x, y, w, h, mi,
+                                         is_merge=m_idx is not None)
         trial = {"mi": mi, "m_idx": m_idx, "tus": tus, "ssd": ssd}
         # zero residual across every TU -> skip CU (recon = prediction)
         trial["is_skip"] = not any(

@@ -235,6 +235,375 @@ def mc_chroma_intermediate(ref: np.ndarray, xc: int, yc: int, w: int,
 
 
 # ---------------------------------------------------------------------------
+# DMVR (decoder-side MV refinement) — InterPrediction::xProcessDMVR
+# (InterPrediction.cpp:1999), xinitMC (:1948), xBIPMVRefine (:1822),
+# xDMVRSubPixelErrorSurface (:1925), xFinalPaddedMCForDMVR (:1847),
+# bilinear filter InterpolationFilter.cpp m_bilinearFilterPrec4 (:312)
+# + biMCForDMVR shift rules (:590), condition PU::checkDMVRCondition.
+
+DMVR_ITER = 2            # DMVR_NUM_ITERATION (search range +-2)
+DMVR_SUBCU = 16
+IF_PREC_BILINEAR = 10    # IF_INTERNAL_PREC_BILINEAR
+IF_FILTER_PREC_BILINEAR = 4
+
+# raster-order 5x5 search offsets (InterPrediction.h:95) — order is
+# normative for tie-breaking (strict '<' keeps the first minimum)
+_DMVR_OFFSETS = [(dx_, dy_) for dy_ in range(-2, 3)
+                 for dx_ in range(-2, 3)]
+
+_BILINEAR_FILTER = np.asarray([[16 - i, i] for i in range(16)], np.int64)
+
+
+def clip_mv_pic(mv, x, y, pic_w, pic_h, ctu_size):
+    """clipMvInPic (Mv.cpp:56) for an internal-precision MV at luma
+    position (x, y)."""
+    off = 8
+    hor_max = (pic_w + off - x - 1) << MV_FRAC_BITS
+    hor_min = (-ctu_size - off - x + 1) << MV_FRAC_BITS
+    ver_max = (pic_h + off - y - 1) << MV_FRAC_BITS
+    ver_min = (-ctu_size - off - y + 1) << MV_FRAC_BITS
+    return (min(hor_max, max(hor_min, mv[0])),
+            min(ver_max, max(ver_min, mv[1])))
+
+
+def _bilinear_dmvr(ref, x, y, w, h, mv, bd):
+    """(h, w) bilinear prediction in the 10-bit DMVR domain
+    (xPredInterBlk with bilinearMC=true; 2-tap prec-4 filter)."""
+    mvx, mvy = mv
+    int_x = x + (mvx >> MV_FRAC_BITS)
+    int_y = y + (mvy >> MV_FRAC_BITS)
+    fx = mvx & 15
+    fy = mvy & 15
+    shift_first = IF_FILTER_PREC_BILINEAR - (IF_PREC_BILINEAR - bd)
+
+    def first_pass(acc):
+        if shift_first > 0:
+            return (acc + (1 << (shift_first - 1))) >> shift_first
+        return acc << -shift_first
+
+    if fx == 0 and fy == 0:
+        win = _gather_clamped(ref, int_x, int_y, w, h)
+        if bd > IF_PREC_BILINEAR:
+            s = bd - IF_PREC_BILINEAR
+            return ((win + (1 << (s - 1))) >> s).astype(np.int32)
+        return (win << (IF_PREC_BILINEAR - bd)).astype(np.int32)
+    if fy == 0:
+        win = _gather_clamped(ref, int_x, int_y, w + 1, h)
+        f = _BILINEAR_FILTER[fx]
+        acc = f[0] * win[:, :w] + f[1] * win[:, 1:w + 1]
+        return first_pass(acc).astype(np.int32)
+    if fx == 0:
+        win = _gather_clamped(ref, int_x, int_y, w, h + 1)
+        f = _BILINEAR_FILTER[fy]
+        acc = f[0] * win[:h, :] + f[1] * win[1:h + 1, :]
+        return first_pass(acc).astype(np.int32)
+    win = _gather_clamped(ref, int_x, int_y, w + 1, h + 1)
+    f = _BILINEAR_FILTER[fx]
+    tmp = first_pass(f[0] * win[:, :w] + f[1] * win[:, 1:w + 1])
+    f = _BILINEAR_FILTER[fy]
+    acc = f[0] * tmp[:h, :] + f[1] * tmp[1:h + 1, :]
+    return ((acc + 8) >> 4).astype(np.int32)
+
+
+def _dmvr_sad(a, b):
+    """xDMVRCost: SAD over every other row (subShift 1), <<1 then >>1."""
+    return int(np.abs(a[::2].astype(np.int64) - b[::2]).sum())
+
+
+def _div_for_maxq7(n, d):
+    """div_for_maxq7 (InterPrediction.cpp:1733): 3-bit quotient in
+    eighths."""
+    sign = n < 0
+    if sign:
+        n = -n
+    q = 0
+    d = d << 3
+    if n >= d:
+        n -= d
+        q += 1
+    q <<= 1
+    d >>= 1
+    if n >= d:
+        n -= d
+        q += 1
+    q <<= 1
+    if n >= (d >> 1):
+        q += 1
+    return -q if sign else q
+
+
+def _subpel_error_srfc(sad):
+    """xSubPelErrorSrfc: parametric 1/16-pel offset from the 5-point
+    cost cross [center, left, above, right, below]."""
+    out = [0, 0]
+    for k, (m, p) in enumerate(((1, 3), (2, 4))):
+        num = (sad[m] - sad[p]) << 4
+        den = sad[m] + sad[p] - (sad[0] << 1)
+        if den != 0:
+            if sad[m] != sad[0] and sad[p] != sad[0]:
+                out[k] = _div_for_maxq7(num, den)
+            else:
+                out[k] = -8 if sad[m] == sad[0] else 8
+    return out
+
+
+def _mc_win_luma(win, sy, sx, w, h, fx, fy, bd, to_pel):
+    """8-tap luma MC reading from an explicit (padded) sample window;
+    block start sample at win[sy, sx].  to_pel: final rounding+clip
+    (uni) vs intermediate domain (bi)."""
+    head_room = IF_INTERNAL_PREC - bd
+    win = win.astype(np.int64)
+    if fx == 0 and fy == 0:
+        blk = win[sy:sy + h, sx:sx + w]
+        if to_pel:
+            return blk.astype(np.int32)
+        return (_leftshift_round(blk, head_room) - IF_INTERNAL_OFFS
+                ).astype(np.int32)
+    clip_hi = (1 << bd) - 1
+    if fy == 0:
+        src = win[sy:sy + h, sx - 3:sx + w + 4]
+        f = LUMA_FILTER[fx].astype(np.int64)
+        acc = sum(f[i] * src[:, i:i + w] for i in range(8))
+        if to_pel:
+            out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+            return np.clip(out, 0, clip_hi).astype(np.int32)
+        s1 = IF_FILTER_PREC - head_room
+        return ((acc + (-IF_INTERNAL_OFFS << s1)) >> s1).astype(np.int32)
+    if fx == 0:
+        src = win[sy - 3:sy + h + 4, sx:sx + w]
+        f = LUMA_FILTER[fy].astype(np.int64)
+        acc = sum(f[i] * src[i:i + h, :] for i in range(8))
+        if to_pel:
+            out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+            return np.clip(out, 0, clip_hi).astype(np.int32)
+        s1 = IF_FILTER_PREC - head_room
+        return ((acc + (-IF_INTERNAL_OFFS << s1)) >> s1).astype(np.int32)
+    src = win[sy - 3:sy + h + 4, sx - 3:sx + w + 4]
+    fxc = LUMA_FILTER[fx].astype(np.int64)
+    s1 = IF_FILTER_PREC - head_room
+    tmp = sum(fxc[i] * src[:, i:i + w] for i in range(8))
+    tmp = (tmp + (-IF_INTERNAL_OFFS << s1)) >> s1
+    fyc = LUMA_FILTER[fy].astype(np.int64)
+    acc = sum(fyc[i] * tmp[i:i + h, :] for i in range(8))
+    if to_pel:
+        s2 = IF_FILTER_PREC + head_room
+        off2 = (1 << (s2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+        return np.clip((acc + off2) >> s2, 0, clip_hi).astype(np.int32)
+    return (acc >> IF_FILTER_PREC).astype(np.int32)
+
+
+def _mc_win_chroma(win, sy, sx, w, h, fx, fy, bd, to_pel):
+    """4-tap chroma MC from an explicit window (block start at
+    win[sy, sx])."""
+    head_room = IF_INTERNAL_PREC - bd
+    win = win.astype(np.int64)
+    if fx == 0 and fy == 0:
+        blk = win[sy:sy + h, sx:sx + w]
+        if to_pel:
+            return blk.astype(np.int32)
+        return (_leftshift_round(blk, head_room) - IF_INTERNAL_OFFS
+                ).astype(np.int32)
+    clip_hi = (1 << bd) - 1
+    s1 = IF_FILTER_PREC - head_room
+    off1 = -IF_INTERNAL_OFFS << s1
+    if fy == 0:
+        src = win[sy:sy + h, sx - 1:sx + w + 2]
+        f = CHROMA_FILTER[fx].astype(np.int64)
+        acc = sum(f[i] * src[:, i:i + w] for i in range(4))
+        if to_pel:
+            out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+            return np.clip(out, 0, clip_hi).astype(np.int32)
+        return ((acc + off1) >> s1).astype(np.int32)
+    if fx == 0:
+        src = win[sy - 1:sy + h + 2, sx:sx + w]
+        f = CHROMA_FILTER[fy].astype(np.int64)
+        acc = sum(f[i] * src[i:i + h, :] for i in range(4))
+        if to_pel:
+            out = (acc + (1 << (IF_FILTER_PREC - 1))) >> IF_FILTER_PREC
+            return np.clip(out, 0, clip_hi).astype(np.int32)
+        return ((acc + off1) >> s1).astype(np.int32)
+    src = win[sy - 1:sy + h + 2, sx - 1:sx + w + 2]
+    fxc = CHROMA_FILTER[fx].astype(np.int64)
+    tmp = sum(fxc[i] * src[:, i:i + w] for i in range(4))
+    tmp = (tmp + off1) >> s1
+    fyc = CHROMA_FILTER[fy].astype(np.int64)
+    acc = sum(fyc[i] * tmp[i:i + h, :] for i in range(4))
+    if to_pel:
+        s2 = IF_FILTER_PREC + head_room
+        off2 = (1 << (s2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+        return np.clip((acc + off2) >> s2, 0, clip_hi).astype(np.int32)
+    return (acc >> IF_FILTER_PREC).astype(np.int32)
+
+
+def dmvr_refine_luma(ref0, ref1, x, y, w, h, mv0, mv1, bd,
+                     pic_w, pic_h, ctu_size, bdof_on):
+    """Full DMVR for a luma PU: per-16x16-sub-PU +-2 integer search on
+    bilinear predictions + parametric sub-pel, final padded 8-tap MC
+    with the refined MVs (+ per-sub-PU BDOF when its SAD clears the
+    threshold).  -> (pred [h, w] pel, deltas [ny, nx, 2] internal,
+    moved [ny, nx] bool)."""
+    dy_s = min(h, DMVR_SUBCU)
+    dx_s = min(w, DMVR_SUBCU)
+    ny, nx = h // dy_s, w // dx_s
+    pred = np.zeros((h, w), np.int32)
+    deltas = np.zeros((ny, nx, 2), np.int32)
+    moved = np.zeros((ny, nx), bool)
+    bio_thres = 2 * dx_s * dy_s
+    for iy in range(ny):
+        for ix in range(nx):
+            sx_, sy_ = x + ix * dx_s, y + iy * dy_s
+            cmv0 = clip_mv_pic(mv0, sx_, sy_, pic_w, pic_h, ctu_size)
+            cmv1 = clip_mv_pic(mv1, sx_, sy_, pic_w, pic_h, ctu_size)
+            bl0 = _bilinear_dmvr(ref0, sx_ - DMVR_ITER, sy_ - DMVR_ITER,
+                                 dx_s + 4, dy_s + 4, cmv0, bd)
+            bl1 = _bilinear_dmvr(ref1, sx_ - DMVR_ITER, sy_ - DMVR_ITER,
+                                 dx_s + 4, dy_s + 4, cmv1, bd)
+            sads = {}
+            c0 = _dmvr_sad(bl0[2:2 + dy_s, 2:2 + dx_s],
+                           bl1[2:2 + dy_s, 2:2 + dx_s])
+            min_cost = c0 - (c0 >> 2)
+            not_zero = True
+            best = (0, 0)
+            if min_cost < dx_s * dy_s or min_cost == 0:
+                not_zero = False
+            else:
+                sads[(0, 0)] = min_cost
+                for (ox, oy) in _DMVR_OFFSETS:
+                    if (ox, oy) not in sads:
+                        sads[(ox, oy)] = _dmvr_sad(
+                            bl0[2 + oy:2 + oy + dy_s,
+                                2 + ox:2 + ox + dx_s],
+                            bl1[2 - oy:2 - oy + dy_s,
+                                2 - ox:2 - ox + dx_s])
+                    if sads[(ox, oy)] < min_cost:
+                        min_cost = sads[(ox, oy)]
+                        best = (ox, oy)
+            bio_sub = bdof_on and (min_cost >= bio_thres)
+            total = [best[0] << MV_FRAC_BITS, best[1] << MV_FRAC_BITS]
+            if not_zero and abs(total[0]) != (2 << MV_FRAC_BITS) \
+                    and abs(total[1]) != (2 << MV_FRAC_BITS):
+                bx, by = best
+                cross = [sads.get((bx, by)),
+                         sads.get((bx - 1, by)), sads.get((bx, by - 1)),
+                         sads.get((bx + 1, by)), sads.get((bx, by + 1))]
+                if all(v is not None for v in cross):
+                    sub = _subpel_error_srfc(cross)
+                    total[0] += sub[0]
+                    total[1] += sub[1]
+            d = (int(total[0]), int(total[1]))
+            deltas[iy, ix] = d
+            moved[iy, ix] = d != (0, 0)
+            pred[iy * dy_s:(iy + 1) * dy_s, ix * dx_s:(ix + 1) * dx_s] \
+                = _dmvr_final_luma(ref0, ref1, sx_, sy_, dx_s, dy_s,
+                                   mv0, mv1, d, bd, pic_w, pic_h,
+                                   ctu_size, bio_sub)
+    return pred, deltas, moved
+
+
+def _dmvr_final_luma(ref0, ref1, sx_, sy_, dx_s, dy_s, mv0, mv1, d, bd,
+                     pic_w, pic_h, ctu_size, bio_sub):
+    """xFinalPaddedMCForDMVR luma: 8-tap MC at the refined MVs reading
+    from the 2-padded prefetch window (replicated ring), then bi
+    average or per-sub-PU BDOF."""
+    ints = []
+    exts = []
+    for (ref, mv, sgn) in ((ref0, mv0, 1), (ref1, mv1, -1)):
+        refined = (mv[0] + sgn * d[0], mv[1] + sgn * d[1])
+        cref = clip_mv_pic(refined, sx_, sy_, pic_w, pic_h, ctu_size)
+        # prefetch window: merge MV offset by -3 (filter extent), clip,
+        # (dx+7, dy+7) real samples, padded by 2 with replication
+        pmv = clip_mv_pic((mv[0] - (3 << MV_FRAC_BITS),
+                           mv[1] - (3 << MV_FRAC_BITS)),
+                          sx_, sy_, pic_w, pic_h, ctu_size)
+        bx = sx_ + (pmv[0] >> MV_FRAC_BITS)
+        by = sy_ + (pmv[1] >> MV_FRAC_BITS)
+        win = np.asarray(_gather_clamped(ref, bx, by, dx_s + 7,
+                                         dy_s + 7), np.int64)
+        win = np.pad(win, DMVR_ITER, mode="edge")
+        d_ix = ((mv[0] + sgn * d[0]) >> MV_FRAC_BITS) \
+            - (mv[0] >> MV_FRAC_BITS)
+        d_iy = ((mv[1] + sgn * d[1]) >> MV_FRAC_BITS) \
+            - (mv[1] >> MV_FRAC_BITS)
+        sy0 = DMVR_ITER + 3 + d_iy
+        sx0 = DMVR_ITER + 3 + d_ix
+        fx = cref[0] & 15
+        fy = cref[1] & 15
+        if bio_sub:
+            # extended (h+2, w+2): interpolated inner + nearest-integer
+            # ring from the padded window (xPredInterBlk bio fill with
+            # srcPadBuf)
+            inner = _mc_win_luma(win, sy0, sx0, dx_s, dy_s, fx, fy,
+                                 bd, to_pel=False)
+            ext = np.zeros((dy_s + 2, dx_s + 2), np.int32)
+            ext[1:dy_s + 1, 1:dx_s + 1] = inner
+            xo = 1 if fx < 8 else 0
+            yo = 1 if fy < 8 else 0
+            shift = IF_INTERNAL_PREC - bd
+            ext[0, :] = (win[sy0 - yo, sx0 - xo:sx0 - xo + dx_s + 2]
+                         << shift) - IF_INTERNAL_OFFS
+            ext[dy_s + 1, :] = (win[sy0 + dy_s + 1 - yo,
+                                    sx0 - xo:sx0 - xo + dx_s + 2]
+                                << shift) - IF_INTERNAL_OFFS
+            ext[1:dy_s + 1, 0] = (win[sy0 + 1 - yo:sy0 + 1 - yo + dy_s,
+                                      sx0 - xo] << shift) \
+                - IF_INTERNAL_OFFS
+            ext[1:dy_s + 1, dx_s + 1] = (
+                win[sy0 + 1 - yo:sy0 + 1 - yo + dy_s,
+                    sx0 + dx_s + 1 - xo] << shift) - IF_INTERNAL_OFFS
+            exts.append(ext)
+        else:
+            ints.append(_mc_win_luma(win, sy0, sx0, dx_s, dy_s, fx, fy,
+                                     bd, to_pel=False))
+    if bio_sub:
+        return _bdof_core(exts[0], exts[1], dx_s, dy_s, bd)
+    return bi_avg(ints[0], ints[1], bd)
+
+
+def dmvr_pred_chroma(refc, xc, yc, wc, hc, mv, sgn_deltas, bd,
+                     pic_w, pic_h, ctu_size, sub_w, sub_h, moved):
+    """Chroma MC for one list of a DMVR CU: per-sub-PU refined MVs;
+    moved sub-PUs read from the 1-padded prefetch window
+    (xFinalPaddedMCForDMVR chroma path).  sgn_deltas: per-sub-PU
+    internal-precision delta ALREADY sign-applied for this list.
+    sub_w/sub_h are chroma sub-PU dims.  -> intermediate-domain pred."""
+    ny, nx = sgn_deltas.shape[:2]
+    out = np.zeros((hc, wc), np.int32)
+    for iy in range(ny):
+        for ix in range(nx):
+            cx = xc + ix * sub_w
+            cy = yc + iy * sub_h
+            lx, ly = 2 * cx, 2 * cy
+            d = (int(sgn_deltas[iy, ix, 0]), int(sgn_deltas[iy, ix, 1]))
+            refined = (mv[0] + d[0], mv[1] + d[1])
+            cref = clip_mv_pic(refined, lx, ly, pic_w, pic_h, ctu_size)
+            if not moved[iy, ix]:
+                out[iy * sub_h:(iy + 1) * sub_h,
+                    ix * sub_w:(ix + 1) * sub_w] = \
+                    mc_chroma_intermediate(refc, cx, cy, sub_w, sub_h,
+                                           cref, bd)
+                continue
+            # prefetch: cMv offset by -1 chroma sample, luma-based clip
+            pmv = clip_mv_pic((mv[0] - (1 << 5), mv[1] - (1 << 5)),
+                              lx, ly, pic_w, pic_h, ctu_size)
+            bx = cx + (pmv[0] >> 5)
+            by = cy + (pmv[1] >> 5)
+            win = np.asarray(_gather_clamped(refc, bx, by, sub_w + 3,
+                                             sub_h + 3), np.int64)
+            win = np.pad(win, 1, mode="edge")
+            d_ix = (refined[0] >> 5) - (mv[0] >> 5)
+            d_iy = (refined[1] >> 5) - (mv[1] >> 5)
+            sy0 = 1 + 1 + d_iy
+            sx0 = 1 + 1 + d_ix
+            fx = cref[0] & 31
+            fy = cref[1] & 31
+            out[iy * sub_h:(iy + 1) * sub_h,
+                ix * sub_w:(ix + 1) * sub_w] = _mc_win_chroma(
+                    win, sy0, sx0, sub_w, sub_h, fx, fy, bd,
+                    to_pel=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # BDOF (bi-directional optical flow) — InterPrediction::applyBiOptFlow
 # (InterPrediction.cpp:1246), gradient kernels Buffer.cpp gradFilterCore
 # (:114) / calcBIOSumsCore (:157) / addBIOAvgCore, integer-sample border
@@ -287,6 +656,11 @@ def _bdof_block(ref0, ref1, x, y, w, h, mv0, mv1, bd):
     """BDOF for one processing block (w, h <= 16); -> pel block."""
     e0 = _bdof_ext_pred(ref0, x, y, w, h, mv0, bd)
     e1 = _bdof_ext_pred(ref1, x, y, w, h, mv1, bd)
+    return _bdof_core(e0, e1, w, h, bd)
+
+
+def _bdof_core(e0, e1, w, h, bd):
+    """applyBiOptFlow given the two extended predictions."""
     gx0, gy0 = _bdof_grads(e0, w, h)
     gx1, gy1 = _bdof_grads(e1, w, h)
     # src ring re-padded by replication from the inner block (the
