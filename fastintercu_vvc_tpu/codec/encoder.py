@@ -206,6 +206,10 @@ class _Maps:
         # (ColMotion) sees the refinement (DecLib.cpp:644
         # setRefinedMotionField runs after deblocking).
         self.dmvr_d = np.zeros(shp + (2,), np.int32)
+        # subblock-motion CU flag (cu.affine in VTM terms: affine or
+        # SbTMVP) — drives the subblock_merge_flag context and the
+        # 8-grid internal deblocking edges
+        self.affine = np.zeros(shp, bool)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False)):
@@ -224,6 +228,7 @@ class _Maps:
         self.ciip[sl] = False
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
+        self.affine[sl] = False
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
@@ -248,13 +253,14 @@ class _Maps:
         self.skip[sl] = skip
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
+        self.affine[sl] = False
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
                "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h",
-               "dmvr_d")
+               "dmvr_d", "affine")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -564,7 +570,8 @@ class FrameEncoder:
                 (m.mode >= 0) | m.ciip, m.cbf_y, m.cbf_cb, m.cbf_cr,
                 m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
                 slice_is_b=self.slice_type == hls.B_SLICE,
-                tu_x0=m.tu_x0, tu_y0=m.tu_y0, tu_w=m.tu_w, tu_h=m.tu_h)
+                tu_x0=m.tu_x0, tu_y0=m.tu_y0, tu_w=m.tu_w, tu_h=m.tu_h,
+                sub_pu=m.affine if m.affine.any() else None)
             if cfg.cu_qp_delta:
                 info.qp_map = m.qp
                 info.chroma_tab = chroma_qp_table(bd) if self.chroma \
@@ -1621,6 +1628,11 @@ class FrameEncoder:
                 self._write_leaf_merge(x, y, w, h, trial)
                 consider("merge", trial)
 
+            sb_trial = self._try_sbtmvp(x, y, w, h, blk)
+            if sb_trial is not None:
+                self._write_leaf_merge(x, y, w, h, sb_trial)
+                consider("merge", sb_trial)
+
             if self.cfg.mmvd:
                 for trial in self._try_mmvd(x, y, w, h, blk, merge_cands,
                                             seen):
@@ -1651,6 +1663,7 @@ class FrameEncoder:
         if self.cfg.sbt and best is not None:
             kind0, trial0 = best[1], best[2]
             if kind0 in ("inter", "merge") and "geo" not in trial0 \
+                    and "sbtmvp" not in trial0 \
                     and not trial0.get("ciip") \
                     and not trial0.get("is_skip") \
                     and "sbt" not in trial0:
@@ -1670,6 +1683,9 @@ class FrameEncoder:
         elif "geo" in trial:
             self._commit_trial_recon(trial)
             self._commit_geo(x, y, w, h, qt_depth, trial)
+        elif "sbtmvp" in trial:
+            self._commit_trial_recon(trial)
+            self._commit_sbtmvp(x, y, w, h, qt_depth, trial)
         else:
             mi = trial["mi"]
             self._commit_trial_recon(trial)
@@ -2590,6 +2606,118 @@ class FrameEncoder:
         return {"mi": mi, "m_idx": m_idx, "tus": [tu], "ssd": ssd,
                 "is_skip": False, "ciip": True}
 
+    def _subblock_merge_gate(self, w, h):
+        """subblock_merge_flag presence (CABACWriter.cpp:1780): inter
+        slice, MaxNumSubblockMergeCand > 0 (affine off -> sbtmvp &&
+        ph_temporal_mvp), >=8x8."""
+        return (self.cfg.sbtmvp and self.cfg.temporal_mvp
+                and self.slice_type != hls.I_SLICE
+                and w >= 8 and h >= 8)
+
+    def _try_sbtmvp(self, x, y, w, h, blk):
+        """SbTMVP trial (the subblock merge list's only candidate with
+        affine off) or None."""
+        if not self._subblock_merge_gate(w, h) or self.tmvp_ctx is None:
+            return None
+        mf = self._mf()
+        a1 = mf.get(x - 1, y + h - 1)
+        a1_p0 = a1_p1 = -1
+        if a1 is not None:
+            if a1.ref0 >= 0 and a1.ref0 < len(self.ref_pocs):
+                a1_p0 = self.ref_pocs[a1.ref0]
+            if a1.ref1 >= 0 and a1.ref1 < len(self.ref_pocs_l1):
+                a1_p1 = self.ref_pocs_l1[a1.ref1]
+        sb = inter.sbtmvp_candidate(
+            self.tmvp_ctx, a1, a1_p0, a1_p1, x, y, w, h,
+            self.slice_type == hls.B_SLICE)
+        if sb is None:
+            return None
+        ctr_mi, grid, sub_w, sub_h = sb
+        # guard: colocated refIdx is always 0 per list; both lists must
+        # have an active picture
+        for row in grid:
+            for mi in row:
+                if (mi.inter_dir & 1) and not self.refs:
+                    return None
+                if (mi.inter_dir & 2) and not self.refs_l1:
+                    return None
+        # assemble per-subblock MC (xSubPuMC: independent sub-PUs, no
+        # BDOF/DMVR)
+        pred = np.zeros((h, w), np.int32)
+        pcb = pcr = None
+        if self.chroma:
+            pcb = np.zeros((h // 2, w // 2), np.int32)
+            pcr = np.zeros((h // 2, w // 2), np.int32)
+        for iy, row in enumerate(grid):
+            for ix, mi in enumerate(row):
+                sx, sy = x + ix * sub_w, y + iy * sub_h
+                pred[iy * sub_h:(iy + 1) * sub_h,
+                     ix * sub_w:(ix + 1) * sub_w] = \
+                    self._motion_pred_luma(sx, sy, sub_w, sub_h, mi)
+                if self.chroma:
+                    for pi, plane in enumerate((pcb, pcr)):
+                        plane[iy * sub_h // 2:(iy + 1) * sub_h // 2,
+                              ix * sub_w // 2:(ix + 1) * sub_w // 2] \
+                            = self._motion_pred_chroma(
+                                sx // 2, sy // 2, sub_w // 2,
+                                sub_h // 2, mi, pi)
+        tus, ssd = [], 0.0
+        for (dx, dy, tw, th) in _tu_tiles(w, h):
+            tx, ty = x + dx, y + dy
+            tblk = self.org[ty:ty + th, tx:tx + tw]
+            tpred = pred[dy:dy + th, dx:dx + tw]
+            q, recon, cbf = self._tq(tblk, tpred, self.qp_eff)
+            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
+            tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
+                  "cbf": cbf, "recon": recon, "chroma": None}
+            if self.chroma:
+                csl = np.s_[dy // 2:(dy + th) // 2, dx // 2:(dx + tw) // 2]
+                ch, jmask = self._chroma_pair_eval(
+                    self.org_cb[ty // 2:(ty + th) // 2,
+                                tx // 2:(tx + tw) // 2], pcb[csl],
+                    self.org_cr[ty // 2:(ty + th) // 2,
+                                tx // 2:(tx + tw) // 2], pcr[csl],
+                    intra_cu=False)
+                tu["chroma"] = ch
+                tu["joint_cbcr"] = jmask
+                ssd += ch[0][3] + ch[1][3]
+            tus.append(tu)
+        trial = {"mi": ctr_mi, "m_idx": 0, "tus": tus, "ssd": ssd,
+                 "sbtmvp": (grid, sub_w, sub_h)}
+        trial["is_skip"] = not any(
+            t["cbf"] or (t["chroma"] is not None
+                         and (t["chroma"][0][2] or t["chroma"][1][2]))
+            for t in tus)
+        return trial
+
+    def _commit_sbtmvp(self, x, y, w, h, qt_depth, trial):
+        """Span the per-subblock motion into the maps (PU::spanMotionInfo
+        for MRG_TYPE_SUBPU_ATMVP); subblock CUs do not enter HMVP
+        (cu.affine)."""
+        grid, sub_w, sub_h = trial["sbtmvp"]
+        m = self.maps
+        m.mark_inter_cu(x, y, w, h, qt_depth, trial["mi"],
+                        skip=trial.get("is_skip", False),
+                        cbfs=self._trial_cbfs(trial))
+        m.affine[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = True
+        for iy, row in enumerate(grid):
+            for ix, mi in enumerate(row):
+                sl = np.s_[(y + iy * sub_h) // 4:
+                           (y + (iy + 1) * sub_h) // 4,
+                           (x + ix * sub_w) // 4:
+                           (x + (ix + 1) * sub_w) // 4]
+                m.inter_dir[sl] = mi.inter_dir
+                m.mv0[sl] = mi.mv0
+                m.mv1[sl] = mi.mv1
+                m.ref0[sl] = mi.ref0
+                m.ref1[sl] = mi.ref1
+                m.ref_poc[sl] = self.ref_pocs[mi.ref0] \
+                    if mi.ref0 >= 0 else -1
+                m.ref_poc1[sl] = self.ref_pocs_l1[mi.ref1] \
+                    if mi.ref1 >= 0 else -1
+        self._mark_tu_cbfs(trial)
+        self.cu_log[(x, y)] = ("merge", trial)
+
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
         # DMVR applies to regular merge only (m_idx None = MMVD)
         tus, ssd = self._inter_trial_tus(x, y, w, h, mi,
@@ -2809,11 +2937,27 @@ class FrameEncoder:
                     break
 
     def _write_merge_data(self, trial, w, h):
-        """merge_data parity (CABACWriter.cpp:1891). subblock_merge_flag
-        absent (affine/SbTMVP off -> MaxNumSubblockMergeCand 0);
+        """merge_data parity (CABACWriter.cpp:1891): subblock_merge_flag
+        (present when MaxNumSubblockMergeCand > 0, i.e. SbTMVP + TMVP
+        with affine off), then the regular/CIIP/GEO/MMVD branches.
         regular_merge_flag signalled iff CIIP or GEO is available for
         this CU."""
         enc = self.enc
+        is_sb = "sbtmvp" in trial
+        if self._subblock_merge_gate(w, h):
+            x0, y0 = trial["tus"][0]["x"], trial["tus"][0]["y"]
+            m = self.maps
+            ctx = 0
+            p = m._at(x0 - 1, y0)
+            ctx += 1 if p is not None and m.affine[p] else 0
+            p = m._at(x0, y0 - 1)
+            ctx += 1 if p is not None and m.affine[p] else 0
+            enc.encode_bin(1 if is_sb else 0,
+                           ctx_ids.SubblockMergeFlag[0] + ctx)
+        if is_sb:
+            # merge_idx affine branch: MaxNumSubblockMergeCand == 1
+            # with affine off -> no index bins
+            return
         mmvd_idx = trial.get("mmvd_idx")
         is_ciip = trial.get("ciip", False)
         is_geo = "geo" in trial

@@ -59,6 +59,9 @@ class DeblockInfo:
     tu_y0: np.ndarray | None = None
     tu_w: np.ndarray | None = None
     tu_h: np.ndarray | None = None
+    # subblock-motion CUs (affine / SbTMVP): 8-grid internal edges
+    # (LoopFilter.cpp:360 mvSubBlocks) with capped filter lengths
+    sub_pu: np.ndarray | None = None
     # per-4x4 luma QP (cu-delta-QP streams); None -> the scalar qp arg
     qp_map: np.ndarray | None = None
     # chroma QP mapping table indexed by qp + 6*(bd-8) (for qp_map)
@@ -285,16 +288,17 @@ def _mv_ge(a, b, thr=8):
         abs(int(a[1]) - int(b[1])) >= thr
 
 
-def _bs_luma(info: DeblockInfo, xq, yq, hor):
+def _bs_luma(info: DeblockInfo, xq, yq, hor, tu_edge=True):
     """Luma boundary strength at sample position (xq, yq) against the
     P neighbor (left or above). -> 0/1/2
     (xGetBoundaryStrengthSingle parity incl. the B-slice both-lists
-    rule, UnitTools/LoopFilter.cpp:717-905)."""
+    rule, UnitTools/LoopFilter.cpp:717-905).  tu_edge=False: internal
+    subblock-motion edge — the cbf rule does not apply."""
     gq = info.at(xq, yq)
     gp = info.at(xq - (0 if hor else 4), yq - (4 if hor else 0))
     if info.is_intra[gq] or info.is_intra[gp]:
         return 2
-    if info.cbf_y[gq] or info.cbf_y[gp]:
+    if tu_edge and (info.cbf_y[gq] or info.cbf_y[gp]):
         return 1
 
     zero = (0, 0)
@@ -397,6 +401,7 @@ def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
     chroma = recon_cb is not None
 
     cu_lists = {}
+    sub_lists = {}
     for cty in range(0, H, ctu_size):
         for ctx in range(0, W, ctu_size):
             out = []
@@ -423,6 +428,24 @@ def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
                         for tx in range(cx, cx + cw, tw):
                             tus.append((tx, ty, tw, th))
             cu_lists[(ctx, cty)] = tus
+            if info.sub_pu is not None:
+                sub = []
+                for (cx, cy, cw, chh) in out:
+                    if not info.sub_pu[cy // 4, cx // 4]:
+                        continue
+                    tu_rows = {t[1] for t in tus
+                               if t[0] <= cx < t[0] + t[2]}
+                    tu_cols = {t[0] for t in tus
+                               if t[1] <= cy < t[1] + t[3]}
+                    for off in range(8, chh, 8):
+                        if cy + off not in tu_rows:
+                            sub.append((cx, cy + off, cw, 4, True,
+                                        cy, chh))
+                    for off in range(8, cw, 8):
+                        if cx + off not in tu_cols:
+                            sub.append((cx + off, cy, 4, chh, False,
+                                        cx, cw))
+                sub_lists[(ctx, cty)] = sub
 
     for hor in (False, True):        # vertical pass first, then horizontal
         for cty in range(0, H, ctu_size):
@@ -431,11 +454,24 @@ def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
                     _deblock_cu_edge(recon_y, recon_cb, recon_cr, info,
                                      cx, cy, cw, chh, hor, qp, qp_chroma,
                                      clip_hi, bdscale, ctu_size, chroma)
+                for e in sub_lists.get((ctx, cty), ()):
+                    ex, ey, ew, eh, e_hor, pu0, pu_len = e
+                    if e_hor != hor:
+                        continue
+                    _deblock_cu_edge(recon_y, recon_cb, recon_cr, info,
+                                     ex, ey, ew, eh, hor, qp, qp_chroma,
+                                     clip_hi, bdscale, ctu_size, chroma,
+                                     tu_edge=False, pu0=pu0,
+                                     pu_len=pu_len)
 
 
 def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
-                     clip_hi, bdscale, ctu_size, chroma):
-    """Filter the CU's leading edge (top for hor, left for ver)."""
+                     clip_hi, bdscale, ctu_size, chroma, tu_edge=True,
+                     pu0=0, pu_len=0):
+    """Filter the CU's leading edge (top for hor, left for ver).
+    tu_edge=False: internal subblock-motion edge (luma only, motion-BS
+    only, filter lengths per
+    LoopFilter::xSetMaxFilterLengthPQForCodingSubBlocks)."""
     H, W = ry.shape
     if hor:
         if cy == 0:
@@ -452,7 +488,7 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
             px, py = cx + 4 * u, cy
         else:
             px, py = cx, cy + 4 * u
-        bs = _bs_luma(info, px, py, hor)
+        bs = _bs_luma(info, px, py, hor, tu_edge)
         if bs == 0:
             continue
         gq = info.at(px, py)
@@ -469,6 +505,28 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         small = size_p <= 4 or size_q <= 4
         max_q = 1 if small else (7 if size_q >= 32 else 3)
         max_p = 1 if small else (7 if size_p >= 32 else 3)
+        if info.sub_pu is not None:
+            if tu_edge:
+                # transform edges of subblock-motion CUs cap at 5; the
+                # P side only when the edge is internal to the same PU
+                if info.sub_pu[gq]:
+                    max_q = min(max_q, 5)
+                    same_cu = (int(info.cu_x0[gp]) == int(info.cu_x0[gq])
+                               and int(info.cu_y0[gp])
+                               == int(info.cu_y0[gq]))
+                    if same_cu:
+                        max_p = min(max_p, 5)
+            else:
+                off = (py - pu0) if hor else (px - pu0)
+
+                def is_tu(o):
+                    a = pu0 + o
+                    g = (a // 4, px // 4) if hor else (py // 4, a // 4)
+                    t = info.tu_y0 if hor else info.tu_x0
+                    return t is not None and int(t[g]) == a
+                near4 = is_tu(off - 4) or (off + 4 >= pu_len)                     or is_tu(off + 4)
+                near8 = (off == 8) or is_tu(off - 8)                     or (off + 8 >= pu_len) or is_tu(off + 8)
+                max_q = max_p = 1 if near4 else (2 if near8 else 3)
         side_p_large = max_p > 3
         side_q_large = max_q > 3
         if hor and (py % ctu_size) == 0:
@@ -542,7 +600,7 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
                                      filter_p, filter_q, clip_hi)
 
     # ---- chroma (4:2:0; edges on the 8-chroma-sample grid) ----
-    if not chroma:
+    if not chroma or not tu_edge:
         return
     if hor:
         if (cy // 4) % 4 != 0:

@@ -907,9 +907,11 @@ class ColMotion:
 
 def get_colocated_mv(col: ColMotion, px: int, py: int, e_list: int,
                      cur_poc: int, cur_ref_poc: int, check_ldc: bool,
-                     col_from_l0: bool):
+                     col_from_l0: bool, sb_flag: bool = False):
     """PU::getColocatedMVP parity (UnitTools.cpp:1500) for short-term
-    refs; position must be pre-validated by the caller. -> mv or None."""
+    refs; position must be pre-validated by the caller. -> mv or None.
+    sb_flag: SbTMVP variant — with !checkLDC the requested list is
+    used directly, no cross-list fallback."""
     px &= ~7
     py &= ~7
     g = (py // 4, px // 4)
@@ -919,13 +921,21 @@ def get_colocated_mv(col: ColMotion, px: int, py: int, e_list: int,
     e_col = e_list if check_ldc else int(col_from_l0)
     rps = (col.ref_poc0, col.ref_poc1)
     mvs = (col.mv0, col.mv1)
-    col_ref_poc = int(rps[e_col][g])
-    if col_ref_poc == -1 or (int(col.inter_dir[g]) & (1 << e_col)) == 0:
-        e_col = 1 - e_col
+    if sb_flag and not check_ldc:
+        e_col = e_list
         col_ref_poc = int(rps[e_col][g])
         if col_ref_poc == -1 or \
                 (int(col.inter_dir[g]) & (1 << e_col)) == 0:
             return None
+    else:
+        col_ref_poc = int(rps[e_col][g])
+        if col_ref_poc == -1 or \
+                (int(col.inter_dir[g]) & (1 << e_col)) == 0:
+            e_col = 1 - e_col
+            col_ref_poc = int(rps[e_col][g])
+            if col_ref_poc == -1 or \
+                    (int(col.inter_dir[g]) & (1 << e_col)) == 0:
+                return None
     mv = (round_mv_comp(int(mvs[e_col][g][0])),
           round_mv_comp(int(mvs[e_col][g][1])))
     scale = dist_scale_factor(cur_poc, cur_ref_poc, col.poc, col_ref_poc)
@@ -981,6 +991,92 @@ def tmvp_merge_cand(tmvp, x, y, w, h):
     return MotionInfo(direction, mv0, mv1,
                       0 if direction & 1 else -1,
                       0 if direction & 2 else -1)
+
+
+# ---------------------------------------------------------------------------
+# SbTMVP (subblock temporal MVP) — PU::getInterMergeSubPuMvpCand
+# (UnitTools.cpp:1046), clipColPos, getColocatedMVP sbFlag variant.
+# With affine off it is the only subblock merge candidate
+# (PU::getAffineMergeCand slot 0, MRG_TYPE_SUBPU_ATMVP).
+
+def _mv_prec_floor_round(v: int, shift: int) -> int:
+    """Mv::changePrecision right-shift rounding (Mv.h:183)."""
+    off = 1 << (shift - 1)
+    return (v + off - 1) >> shift if v >= 0 else (v + off) >> shift
+
+
+def clip_col_pos(px, py, x, y, pic_w, pic_h, ctu_size):
+    """clipColPos (UnitTools.cpp): CTU-row constrained collocated
+    fetch window."""
+    ctu_x = (x // ctu_size) * ctu_size
+    ctu_y = (y // ctu_size) * ctu_size
+    hor_max = min(pic_w - 1, ctu_x + ctu_size + 3)
+    ver_max = min(pic_h - 1, ctu_y + ctu_size - 1)
+    return (min(hor_max, max(ctu_x, px)), min(ver_max, max(ctu_y, py)))
+
+
+def sbtmvp_candidate(tmvp, a1, a1_poc0, a1_poc1, x, y, w, h, is_b):
+    """SbTMVP derivation. tmvp: the TMVP context dict; a1: left
+    neighbor MotionInfo (or None) with its reference POCs.
+    -> (ctr MotionInfo, grid [ny][nx] MotionInfo, sub_w, sub_h) or
+    None."""
+    col = tmvp["col"]
+    pic_w, pic_h, cs = tmvp["pic_w"], tmvp["pic_h"], tmvp["ctu_size"]
+    tvx = tvy = 0
+    if a1 is not None:
+        tv = None
+        if (a1.inter_dir & 1) and a1_poc0 == col.poc:
+            tv = a1.mv0
+        elif is_b and (a1.inter_dir & 2) and a1_poc1 == col.poc:
+            tv = a1.mv1
+        if tv is not None:
+            tvx = _mv_prec_floor_round(tv[0], MV_FRAC_BITS)
+            tvy = _mv_prec_floor_round(tv[1], MV_FRAC_BITS)
+
+    def col_lists(px, py):
+        px, py = clip_col_pos(px, py, x, y, pic_w, pic_h, cs)
+        px &= ~7
+        py &= ~7
+        g = (py // 4, px // 4)
+        if int(col.inter_dir[g]) == 0:
+            return 0, [(0, 0), (0, 0)]
+        d = 0
+        mvs = [(0, 0), (0, 0)]
+        for lst in range(2 if is_b else 1):
+            ref_poc = tmvp["ref_poc_l0"] if lst == 0 \
+                else tmvp.get("ref_poc_l1")
+            if ref_poc is None:
+                continue
+            mv = get_colocated_mv(col, px, py, lst, tmvp["cur_poc"],
+                                  ref_poc, tmvp["check_ldc"],
+                                  tmvp["col_from_l0"], sb_flag=True)
+            if mv is not None:
+                mvs[lst] = mv
+                d |= 1 << lst
+        return d, mvs
+
+    ctr_dir, ctr = col_lists(x + (w >> 1) + tvx, y + (h >> 1) + tvy)
+    if ctr_dir == 0:
+        return None
+    sub_w = 8 if w > 8 else w
+    sub_h = 8 if h > 8 else h
+    x_off = (sub_w >> 1) + tvx
+    y_off = (sub_h >> 1) + tvy
+    grid = []
+    for sy in range(y, y + h, sub_h):
+        row = []
+        for sx in range(x, x + w, sub_w):
+            d, mvs = col_lists(sx + x_off, sy + y_off)
+            if d == 0:
+                d, mvs = ctr_dir, ctr
+            row.append(MotionInfo(
+                d, tuple(mvs[0]), tuple(mvs[1]),
+                0 if d & 1 else -1, 0 if d & 2 else -1))
+        grid.append(row)
+    ctr_mi = MotionInfo(ctr_dir, tuple(ctr[0]), tuple(ctr[1]),
+                        0 if ctr_dir & 1 else -1,
+                        0 if ctr_dir & 2 else -1)
+    return ctr_mi, grid, sub_w, sub_h
 
 
 def fill_mvp_cands(mf: MotionField, hmvp: list[MotionInfo],
