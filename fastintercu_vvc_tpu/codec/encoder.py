@@ -29,7 +29,7 @@ import functools
 
 import numpy as np
 
-from ..ops import intra, inter, geo as geo_ops, transforms_np as tnp
+from ..ops import intra, inter, mip as mip_ops, geo as geo_ops, transforms_np as tnp
 from ..utils import trace
 from .. import native
 from . import cabac, contexts, ctx_ids, hls, partition, residual
@@ -210,9 +210,10 @@ class _Maps:
         # SbTMVP) — drives the subblock_merge_flag context and the
         # 8-grid internal deblocking edges
         self.affine = np.zeros(shp, bool)
+        self.mip = np.zeros(shp, bool)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
-                      cbfs=(False, False, False)):
+                      cbfs=(False, False, False), mip=False):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
@@ -229,6 +230,7 @@ class _Maps:
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
         self.affine[sl] = False
+        self.mip[sl] = mip
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
@@ -254,13 +256,14 @@ class _Maps:
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
         self.affine[sl] = False
+        self.mip[sl] = False
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
                "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h",
-               "dmvr_d", "affine")
+               "dmvr_d", "affine", "mip")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -1606,6 +1609,30 @@ class FrameEncoder:
                 self._write_leaf_intra(x, y, w, h, trial)
                 consider("intra", trial)
 
+        # ----- MIP candidates (SAD screen over all modes x transpose,
+        # full RD on the best few; IntraSearch MIP loop analogue) -----
+        if self.cfg.mip and mip_ops.mip_allowed(w, h):
+            topu, leftu = intra.build_refs_grid(
+                self.recon, x, y, w, h, self.cfg.bit_depth,
+                self.maps.coded, xmax=self.wpp_xmax)
+            scored = []
+            for mode_idx in range(mip_ops.num_modes(w, h)):
+                for transp in (False, True):
+                    p = mip_ops.predict(topu, leftu, w, h, mode_idx,
+                                        transp, self.cfg.bit_depth)
+                    scored.append((int(np.abs(blk - p).sum()),
+                                   mode_idx, transp, p))
+            scored.sort(key=lambda e: e[:3])
+            for (_, mode_idx, transp, p) in scored[:2]:
+                q, recon, cbf = self._tq(blk, p, self.qp_eff)
+                ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+                trial = self._finish_intra_trial(
+                    x, y, w, h, intra.PLANAR_IDX, 0, q, recon, cbf,
+                    0, False, ssd)
+                trial["mip"] = (mode_idx, transp)
+                self._write_leaf_intra(x, y, w, h, trial)
+                consider("intra", trial)
+
         # ----- inter options (P/B slice, not 4x4) -----
         if is_inter_slice and not (w == 4 and h == 4) and self.refs:
             for it in self._try_inter_amvp(x, y, w, h, blk):
@@ -1778,8 +1805,11 @@ class FrameEncoder:
 
     def _commit_intra(self, x, y, w, h, qt_depth, trial):
         self._commit_trial_recon(trial)
+        # MIP CUs record PLANAR as their luma dir (PU::getIntraDirLuma:
+        # MPM and DM-chroma derivations of later CUs see planar)
         self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"],
-                                cbfs=self._trial_cbfs(trial))
+                                cbfs=self._trial_cbfs(trial),
+                                mip="mip" in trial)
         self._mark_tu_cbfs(trial)
         self.cu_log[(x, y)] = ("intra", trial)
 
@@ -2792,6 +2822,28 @@ class FrameEncoder:
         self.cu_gt64 = w > 64 or h > 64
         if self.slice_type != hls.I_SLICE:
             self._write_skip_predmode(x, y, w, h, is_intra=True)
+        if self.cfg.mip:
+            # mip_flag (CABACWriter::mip_flag; ctx DeriveCtx::CtxMipFlag)
+            is_mip = "mip" in trial
+            m = self.maps
+            if w > 2 * h or h > 2 * w:
+                ctx = 3
+            else:
+                ctx = 0
+                p = m._at(x - 1, y)
+                ctx += 1 if p is not None and m.mip[p] else 0
+                p = m._at(x, y - 1)
+                ctx += 1 if p is not None and m.mip[p] else 0
+            enc.encode_bin(1 if is_mip else 0, ctx_ids.MipFlag[0] + ctx)
+            if is_mip:
+                mode_idx, transp = trial["mip"]
+                enc.encode_bin_ep(1 if transp else 0)
+                write_trunc_bin(enc, mode_idx, mip_ops.num_modes(w, h))
+                self._write_intra_chroma_and_tus(trial)
+                # tu_mts_idx is still parsed for MIP CUs
+                # (CU::isMTSAllowed has no MIP exclusion)
+                self._write_mts_idx(w, h, trial)
+                return
         mrl = trial.get("mrl", 0)
         # extend_ref_line (CABACWriter.cpp): two ctx bins, skipped on
         # the first CTU row
@@ -2803,6 +2855,11 @@ class FrameEncoder:
                                ctx_ids.MultiRefLineIdx[0] + 1)
         mpm = self._mpms(x, y, w, h)
         write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl)
+        self._write_intra_chroma_and_tus(trial)
+        self._write_mts_idx(w, h, trial)
+
+    def _write_intra_chroma_and_tus(self, trial):
+        enc = self.enc
         if self.chroma:
             # intra_chroma_pred_mode (CABACWriter.cpp:1390): cclm flag
             # + lmc mode when enabled; we signal DM or an LM mode
@@ -2820,7 +2877,6 @@ class FrameEncoder:
                 enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
         for tu in trial["tus"]:       # intra: luma cbf always signalled
             self._write_tu(tu, is_intra=True)
-        self._write_mts_idx(w, h, trial)
 
     def _write_mts_idx(self, w, h, trial):
         """mts_idx after the transform tree (CABACWriter.cpp:2721:

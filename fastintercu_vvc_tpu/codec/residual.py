@@ -290,14 +290,29 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
     # recorder target + no dep-quant -> generate the op stream
     # natively (the C generator does not model sign hiding yet, so SDH
     # streams use the python bin generator into the recorder)
-    if not dep_quant and not sign_hiding and hasattr(enc, "extend_ops"):
+    if not dep_quant and not sign_hiding:
         from .. import native
-        if native.get_lib() is not None:
-            lgw, lgh = rom.log2_sbb_size(w.bit_length() - 1,
-                                         h.bit_length() - 1)
-            enc.extend_ops(native.residual_ops(
-                coeff, ch_type, lgw, lgh, _native_ctxb(w, h, ch_type)))
-            return
+        if hasattr(enc, "extend_ops"):
+            if native.get_lib() is not None:
+                lgw, lgh = rom.log2_sbb_size(w.bit_length() - 1,
+                                             h.bit_length() - 1)
+                enc.extend_ops(native.residual_ops(
+                    coeff, ch_type, lgw, lgh,
+                    _native_ctxb(w, h, ch_type)))
+                return
+        elif hasattr(enc, "bits_left"):
+            # LIVE engine (the RD trial-coding path): generate the op
+            # stream natively and execute it natively, resuming from
+            # and updating the encoder's arithmetic + context state —
+            # bit-identical to the per-bin Python path below
+            if native.get_lib() is not None:
+                lgw, lgh = rom.log2_sbb_size(w.bit_length() - 1,
+                                             h.bit_length() - 1)
+                ops = native.residual_ops(
+                    coeff, ch_type, lgw, lgh,
+                    _native_ctxb(w, h, ch_type))
+                native.cabac_exec_live(enc, ops)
+                return
     cctx = CoeffCtx(w, h, ch_type)
 
     # last position + sig group flags in scan order

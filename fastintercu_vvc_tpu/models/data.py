@@ -99,3 +99,54 @@ def extract_from_frames(frames: list[np.ndarray], cfg: hls.SeqConfig,
     return SplitSamples(np.stack(orgs), np.stack(preds),
                         np.asarray(pocs), np.asarray(qps),
                         np.asarray(labels))
+
+
+def _root_label(wmap, hmap, cx, cy, cs):
+    """CTU-root split class from the committed cu-size map
+    (EncCu.cpp:909-921 classes)."""
+    gw, gh = int(wmap[cy // 4, cx // 4]), int(hmap[cy // 4, cx // 4])
+    if gw == cs and gh == cs:
+        return 0
+    if gw == cs and gh < cs:
+        return 2                      # BT_H at the root
+    if gw < cs and gh == cs:
+        return 3                      # BT_V at the root
+    return 1                          # QT
+
+
+def extract_from_inter_sequence(frames, cfg: hls.SeqConfig, qp: int,
+                                me_range: int = 8) -> SplitSamples:
+    """The FastInterCU deployment contract: run the sequential RD
+    encoder as an IPPP sequence and harvest the CTU-root split
+    decisions of the P slices, with features (org CTU, predictor CTU)
+    where the predictor is the previous reconstruction — the same
+    feature the batched deployment loop feeds the CNN
+    (gop.BatchedSequenceEncoder split_hints_fn(luma, prev_recon,
+    poc))."""
+    cs = cfg.ctu_size
+    # local python ME: the batched whole-frame device search is a TPU
+    # path; on a CPU extraction host its XLA compile dominates
+    fe = enc_mod.FrameEncoder(cfg, me_range=me_range, batched_me=False)
+    orgs, preds, pocs, qps, labels = [], [], [], [], []
+    prev = None
+    for poc, frame in enumerate(frames):
+        if poc == 0:
+            prev = fe.encode_frame(frame, poc=0, qp=qp,
+                                   slice_type=hls.I_SLICE)
+            continue
+        res = fe.encode_frame(frame, poc=poc, qp=qp,
+                              slice_type=hls.P_SLICE,
+                              refs=[(poc - 1, prev)])
+        wmap = (res.cu_map >> 16)
+        hmap = res.cu_map & 0xFFFF
+        for cy in range(0, cfg.height, cs):
+            for cx in range(0, cfg.width, cs):
+                orgs.append(frame[cy:cy + cs, cx:cx + cs])
+                preds.append(prev.recon[cy:cy + cs, cx:cx + cs])
+                pocs.append(poc)
+                qps.append(qp)
+                labels.append(_root_label(wmap, hmap, cx, cy, cs))
+        prev = res
+    return SplitSamples(np.stack(orgs), np.stack(preds),
+                        np.asarray(pocs), np.asarray(qps),
+                        np.asarray(labels))

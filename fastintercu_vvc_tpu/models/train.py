@@ -102,6 +102,57 @@ def make_adam(base_lr: float = 4e-4, **sched_kwargs):
     return optax.adam(cosine_restart_schedule(base_lr, **sched_kwargs))
 
 
+# ---------------------------------------------------------------------------
+# checkpoint save/resume (reference: BasicSR .pth/.state every 5k
+# iters, resume via path.resume_state — SURVEY §5.4)
+
+def save_checkpoint(path: str, state: TrainState):
+    """Serialize the full train state (params + batch stats + optimizer
+    + step) to one file; resume-safe."""
+    from flax import serialization
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step}))
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by save_checkpoint; `template` is a
+    freshly created state providing the pytree structure."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        d = serialization.from_bytes(
+            {"params": template.params,
+             "batch_stats": template.batch_stats,
+             "opt_state": template.opt_state,
+             "step": template.step}, f.read())
+    return TrainState(d["params"], d["batch_stats"], d["opt_state"],
+                      d["step"])
+
+
+def save_weights(path: str, state: TrainState):
+    """Inference-only artifact: params + batch stats (the .pt export
+    analogue, model2torchScript.py:47-49)."""
+    from flax import serialization
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": state.params,
+             "batch_stats": state.batch_stats}))
+
+
+def load_weights(path: str, model, rng=None):
+    """-> variables dict usable with model.apply(...)."""
+    from flax import serialization
+    import jax as _jax
+    variables = mlt_cnn.init_params(
+        model, rng if rng is not None else _jax.random.PRNGKey(0))
+    tmpl = {"params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})}
+    with open(path, "rb") as f:
+        d = serialization.from_bytes(tmpl, f.read())
+    return {"params": d["params"], "batch_stats": d["batch_stats"]}
+
+
 def shard_batch_for_dp(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch onto the mesh, sharded over the batch dimension."""
     def put(x):

@@ -80,6 +80,13 @@ def get_lib():
         lib.ck_inv_xform.argtypes = [_i32p, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, _i32p]
+        lib.cabac_exec.restype = ctypes.c_int64
+        lib.cabac_exec.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+            _u8p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), _u8p]
         lib.residual_ops.restype = ctypes.c_int64
         lib.residual_ops.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -119,6 +126,36 @@ def residual_ops(coeff, is_chroma: int, log2_cg_w: int, log2_cg_h: int,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
     assert n >= 0, f"residual_ops error {n}"
     return out[:n]
+
+
+def cabac_exec_live(enc, ops: np.ndarray) -> None:
+    """Execute an op stream against a LIVE codec.cabac.CabacEncoder:
+    arithmetic state and context bank resume and update in place,
+    payload bytes append to enc.out — bit-identical to feeding the
+    ops through the Python engine, at native speed (the RD trial-
+    coding splice)."""
+    lib = get_lib()
+    ops = np.ascontiguousarray(ops, np.uint32)
+    bank = enc.ctx
+    n_ctx = len(bank.state0)
+    st = np.array([enc.low, enc.range, enc.buffered_byte,
+                   enc.num_buffered_bytes, enc.bits_left], np.int64)
+    out = np.zeros(len(ops) // 2 + 4096, np.uint8)
+    n = lib.cabac_exec(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(ops),
+        bank.state0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bank.state1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bank.rate.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_ctx, st.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert n >= 0, f"native cabac_exec error {n}"
+    enc.low = int(st[0])
+    enc.range = int(st[1])
+    enc.buffered_byte = int(st[2])
+    enc.num_buffered_bytes = int(st[3])
+    enc.bits_left = int(st[4])
+    if n:
+        enc.out.extend(out[:n].tobytes())
 
 
 def cabac_run(ops: np.ndarray, bank) -> tuple[bytes, tuple[int, int]]:

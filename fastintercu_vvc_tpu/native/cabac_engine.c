@@ -166,6 +166,60 @@ static void encode_bin_trm(Engine *e, int bin) {
   if (e->bits_left < 12) write_out(e);
 }
 
+/* Execute ops RESUMING from (and updating) a live engine state —
+ * the splice point for the Python RD path: trial syntax generated
+ * natively (residual_ops) executes against the live CabacEncoder
+ * without the per-bin Python loop.  io_state: [low, range,
+ * buffered_byte, num_buffered_bytes, bits_left] (int64).  Context
+ * states update in place; appended payload bytes go to `out`;
+ * returns the appended byte count (or <0 on error).  No finish. */
+int64_t cabac_exec(const uint32_t *ops, int64_t n_ops, uint16_t *s0,
+                   uint16_t *s1, uint8_t *rate, int n_ctx,
+                   int64_t *io_state, uint8_t *out) {
+  Engine e;
+  Bank b;
+  if (n_ctx > 4096) return -1;
+  memcpy(b.s0, s0, n_ctx * sizeof(uint16_t));
+  memcpy(b.s1, s1, n_ctx * sizeof(uint16_t));
+  memcpy(b.rate, rate, n_ctx);
+  e.low = (uint32_t)io_state[0];
+  e.range = (uint32_t)io_state[1];
+  e.buffered_byte = (uint32_t)io_state[2];
+  e.num_buffered_bytes = (int32_t)io_state[3];
+  e.bits_left = (int32_t)io_state[4];
+  e.out = out;
+  e.out_len = 0;
+  for (int64_t i = 0; i < n_ops; i++) {
+    uint32_t op = ops[i];
+    uint32_t kind = op >> 28;
+    uint32_t payload = op & 0x0FFFFFFF;
+    switch (kind) {
+      case 0:
+        encode_bin(&e, &b, (int)(payload >> 1), (int)(payload & 1));
+        break;
+      case 1:
+        encode_bin_ep(&e, (int)(payload & 1));
+        break;
+      case 2:
+        encode_bins_ep(&e, payload & 0xFFFFF, (int)(payload >> 20));
+        break;
+      case 3:
+        encode_bin_trm(&e, (int)(payload & 1));
+        break;
+      default:
+        return -2;
+    }
+  }
+  io_state[0] = e.low;
+  io_state[1] = e.range;
+  io_state[2] = e.buffered_byte;
+  io_state[3] = e.num_buffered_bytes;
+  io_state[4] = e.bits_left;
+  memcpy(s0, b.s0, n_ctx * sizeof(uint16_t));
+  memcpy(s1, b.s1, n_ctx * sizeof(uint16_t));
+  return e.out_len;
+}
+
 /* Execute ops; returns payload byte count. tail_out[0] = tail value,
  * tail_out[1] = tail nbits (the final low>>8 bits, appended by the
  * bit-level writer). States in s0/s1/rate are updated in place. */
