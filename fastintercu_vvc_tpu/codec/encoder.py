@@ -1633,6 +1633,19 @@ class FrameEncoder:
                 self._write_leaf_intra(x, y, w, h, trial)
                 consider("intra", trial)
 
+        # ----- LFNST variants of the best intra trial so far -----
+        if self.cfg.lfnst and best is not None and best[1] == "intra" \
+                and w >= 4 and h >= 4 and w <= 64 and h <= 64:
+            base = best[2]
+            if not base["tus"][0].get("ts") \
+                    and not ("mip" in base and (w < 16 or h < 16)):
+                for li in (1, 2):
+                    t = self._eval_intra_lfnst(x, y, w, h, blk, base,
+                                               li)
+                    if t is not None:
+                        self._write_leaf_intra(x, y, w, h, t)
+                        consider("intra", t)
+
         # ----- inter options (P/B slice, not 4x4) -----
         if is_inter_slice and not (w == 4 and h == 4) and self.refs:
             for it in self._try_inter_amvp(x, y, w, h, blk):
@@ -1913,6 +1926,114 @@ class FrameEncoder:
         return {"mode": mode, "tus": [tu], "ssd": ssd,
                 "mts_idx": mts_idx, "mrl": mrl,
                 "chroma_mode": chroma_mode}
+
+    def _eval_intra_lfnst(self, x, y, w, h, blk, base_trial, lfnst_idx):
+        """LFNST variant of an intra trial (DCT2 primary with the
+        LFNST zero-out, forward secondary transform, scalar quant) —
+        None when the stream-side parse conditions wouldn't hold."""
+        from ..ops import lfnst as lfnst_ops
+        bd = self.cfg.bit_depth
+        mode = base_trial["mode"]
+        mrl = base_trial.get("mrl", 0)
+        top, left = intra.build_refs_grid(self.recon, x, y, w, h, bd,
+                                          self.maps.coded, mrl=mrl,
+                                          xmax=self.wpp_xmax)
+        if "mip" in base_trial:
+            mode_idx, transp_m = base_trial["mip"]
+            pred = mip_ops.predict(top, left, w, h, mode_idx, transp_m,
+                                   bd)
+            wa = intra.PLANAR_IDX
+        else:
+            pred = intra.predict(mode, top, left, w, h, bd, mrl=mrl)
+            wa = lfnst_ops.wide_angle(mode, w, h)
+        set_idx, transp = lfnst_ops.lfnst_set(wa)
+        coeff = tnp.fwd_transform_2d(blk - pred, bit_depth=bd)
+        kw, kh = lfnst_ops.primary_keep(w, h)
+        keep = np.zeros_like(coeff)
+        keep[:kh, :kw] = coeff[:kh, :kw]
+        c2 = lfnst_ops.fwd(keep, set_idx, lfnst_idx, transp)
+        irap = self.slice_type == hls.I_SLICE
+        if self.cfg.dep_quant:
+            q = tnp.quant_dep(c2, self.qp_eff, bit_depth=bd,
+                              is_irap=irap)
+        else:
+            q = self._maybe_sdh(tnp.quant(c2, self.qp_eff,
+                                          bit_depth=bd, is_irap=irap))
+        # lfnst_idx is only parseable with a last scan pos >= 1
+        scan = rom_scan = None
+        from ..ops import rom
+        s = rom.scan_diag(w, h)
+        vals = q[s[:, 1], s[:, 0]]
+        nz = np.nonzero(vals)[0]
+        if len(nz) == 0 or int(nz[-1]) < 1:
+            return None
+        if self.cfg.dep_quant:
+            dq = tnp.dequant_dep(q, self.qp_eff, bit_depth=bd)
+        else:
+            dq = tnp.dequant(q, self.qp_eff, bit_depth=bd)
+        r = tnp.inv_transform_2d(
+            lfnst_ops.inv(dq, set_idx, lfnst_idx, transp), bit_depth=bd)
+        recon = _clip_pel(pred + r, bd)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        trial = self._finish_intra_trial(x, y, w, h, mode, mrl, q,
+                                         recon, True, 0, False, ssd)
+        if "mip" in base_trial:
+            trial["mip"] = base_trial["mip"]
+        trial["lfnst"] = lfnst_idx
+        # chroma coefficients must not break the parse conditions
+        if not self._lfnst_signallable(w, h, trial):
+            return None
+        return trial
+
+    def _lfnst_signallable(self, w, h, trial):
+        """residual_lfnst_mode parse conditions derived from the
+        actual coefficients (CABACWriter.cpp:2771 + the per-TU flag
+        tracking at :2662-2671)."""
+        from ..ops import rom
+        if w > 64 or h > 64:
+            return False
+        if "mip" in trial and (w < 16 or h < 16):
+            return False
+        last_ok = False
+        violates = False
+        for tu in trial["tus"]:
+            comps = []
+            if tu.get("ts"):
+                return False              # TS TU present
+            if tu["cbf"]:
+                comps.append((tu["q"], tu["w"], tu["h"]))
+            ch = tu.get("chroma")
+            if ch is not None:
+                for ci in (0, 1):
+                    if ch[ci][2]:
+                        qc = ch[ci][0]
+                        comps.append((qc, qc.shape[1], qc.shape[0]))
+            for (qc, cw, chh) in comps:
+                if cw < 4 or chh < 4:
+                    continue
+                s = rom.scan_diag(cw, chh)
+                vals = qc[s[:, 1], s[:, 0]]
+                nz = np.nonzero(vals)[0]
+                if not len(nz):
+                    continue
+                last = int(nz[-1])
+                max_pos = 7 if ((cw == 4 and chh == 4)
+                                or (cw == 8 and chh == 8)) else 15
+                violates |= last > max_pos
+                last_ok |= last >= 1
+        return last_ok and not violates
+
+    def _write_lfnst_idx(self, w, h, trial):
+        """residual_lfnst_mode (CABACWriter.cpp:2771), single tree."""
+        if not self.cfg.lfnst:
+            return
+        if not self._lfnst_signallable(w, h, trial):
+            return
+        idx = trial.get("lfnst", 0)
+        enc = self.enc
+        enc.encode_bin(1 if idx else 0, ctx_ids.LFNSTIdx[0])
+        if idx:
+            enc.encode_bin(idx - 1, ctx_ids.LFNSTIdx[0] + 2)
 
     def _coeff_cost_proxy(self, blk, recon, q):
         """SSD + lambda * rough level-bit estimate (mode selection
@@ -2840,6 +2961,7 @@ class FrameEncoder:
                 enc.encode_bin_ep(1 if transp else 0)
                 write_trunc_bin(enc, mode_idx, mip_ops.num_modes(w, h))
                 self._write_intra_chroma_and_tus(trial)
+                self._write_lfnst_idx(w, h, trial)
                 # tu_mts_idx is still parsed for MIP CUs
                 # (CU::isMTSAllowed has no MIP exclusion)
                 self._write_mts_idx(w, h, trial)
@@ -2856,6 +2978,7 @@ class FrameEncoder:
         mpm = self._mpms(x, y, w, h)
         write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl)
         self._write_intra_chroma_and_tus(trial)
+        self._write_lfnst_idx(w, h, trial)
         self._write_mts_idx(w, h, trial)
 
     def _write_intra_chroma_and_tus(self, trial):
@@ -2882,7 +3005,7 @@ class FrameEncoder:
         """mts_idx after the transform tree (CABACWriter.cpp:2721:
         signalled iff MTS allowed, luma has coeffs beyond DC, and no
         significant CG outside 16x16)."""
-        if not self._mts_allowed(w, h):
+        if not self._mts_allowed(w, h) or trial.get("lfnst"):
             return
         tu = trial["tus"][0]
         if not tu["cbf"] or tu.get("ts"):
