@@ -29,7 +29,8 @@ import functools
 
 import numpy as np
 
-from ..ops import intra, inter, mip as mip_ops, geo as geo_ops, transforms_np as tnp
+from ..ops import intra, inter, mip as mip_ops, geo as geo_ops, \
+    affine as affine_ops, transforms_np as tnp
 from ..utils import trace
 from .. import native
 from . import cabac, contexts, ctx_ids, hls, partition, residual
@@ -211,6 +212,12 @@ class _Maps:
         # 8-grid internal deblocking edges
         self.affine = np.zeros(shp, bool)
         self.mip = np.zeros(shp, bool)
+        # real affine CUs (mergeType DEFAULT_N): model type and the
+        # per-list CPMVs, spanned over the CU for inheritance
+        # (PU::mvAffi; -1 = not affine / SbTMVP)
+        self.aff_type = np.full(shp, -1, np.int8)
+        self.aff_cpmv0 = np.zeros(shp + (3, 2), np.int32)
+        self.aff_cpmv1 = np.zeros(shp + (3, 2), np.int32)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
                       cbfs=(False, False, False), mip=False):
@@ -230,6 +237,7 @@ class _Maps:
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
         self.affine[sl] = False
+        self.aff_type[sl] = -1
         self.mip[sl] = mip
         self.coded[sl] = True
 
@@ -256,6 +264,7 @@ class _Maps:
         self.cbf_y[sl], self.cbf_cb[sl], self.cbf_cr[sl] = cbfs
         self.dmvr_d[sl] = 0
         self.affine[sl] = False
+        self.aff_type[sl] = -1
         self.mip[sl] = False
         self.coded[sl] = True
 
@@ -263,7 +272,8 @@ class _Maps:
                "inter_dir", "mv0", "ref0", "ref_poc", "mv1", "ref1",
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
                "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h",
-               "dmvr_d", "affine", "mip")
+               "dmvr_d", "affine", "mip",
+               "aff_type", "aff_cpmv0", "aff_cpmv1")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -1668,10 +1678,13 @@ class FrameEncoder:
                 self._write_leaf_merge(x, y, w, h, trial)
                 consider("merge", trial)
 
-            sb_trial = self._try_sbtmvp(x, y, w, h, blk)
-            if sb_trial is not None:
+            for sb_trial in self._try_subblock_merge(x, y, w, h, blk):
                 self._write_leaf_merge(x, y, w, h, sb_trial)
                 consider("merge", sb_trial)
+
+            for aff_trial in self._try_affine_amvp(x, y, w, h, blk):
+                self._write_leaf_inter(x, y, w, h, aff_trial)
+                consider("inter", aff_trial)
 
             if self.cfg.mmvd:
                 for trial in self._try_mmvd(x, y, w, h, blk, merge_cands,
@@ -1704,6 +1717,7 @@ class FrameEncoder:
             kind0, trial0 = best[1], best[2]
             if kind0 in ("inter", "merge") and "geo" not in trial0 \
                     and "sbtmvp" not in trial0 \
+                    and "affine" not in trial0 \
                     and not trial0.get("ciip") \
                     and not trial0.get("is_skip") \
                     and "sbt" not in trial0:
@@ -1726,6 +1740,9 @@ class FrameEncoder:
         elif "sbtmvp" in trial:
             self._commit_trial_recon(trial)
             self._commit_sbtmvp(x, y, w, h, qt_depth, trial)
+        elif "affine" in trial:
+            self._commit_trial_recon(trial)
+            self._commit_affine(x, y, w, h, qt_depth, trial)
         else:
             mi = trial["mi"]
             self._commit_trial_recon(trial)
@@ -2007,6 +2024,11 @@ class FrameEncoder:
                 for ci in (0, 1):
                     if ch[ci][2]:
                         qc = ch[ci][0]
+                        if qc is None:
+                            # joint CbCr: Cr cbf set, residual carried
+                            # by the joint (Cb) component — only coded
+                            # components enter the parse conditions
+                            continue
                         comps.append((qc, qc.shape[1], qc.shape[0]))
             for (qc, cw, chh) in comps:
                 if cw < 4 or chh < 4:
@@ -2757,18 +2779,28 @@ class FrameEncoder:
         return {"mi": mi, "m_idx": m_idx, "tus": [tu], "ssd": ssd,
                 "is_skip": False, "ciip": True}
 
+    def _max_sub_merge_cand(self):
+        """MaxNumSubblockMergeCand (spec 7.4.3.3 derivation): affine on
+        -> 5 - sps_five_minus_max_num_subblock_merge_cand; else 1 when
+        SbTMVP can run (sbtmvp && ph_temporal_mvp)."""
+        if self.cfg.affine:
+            return self.cfg.max_affine_merge_cand
+        if self.cfg.sbtmvp and self.cfg.temporal_mvp:
+            return 1
+        return 0
+
     def _subblock_merge_gate(self, w, h):
         """subblock_merge_flag presence (CABACWriter.cpp:1780): inter
-        slice, MaxNumSubblockMergeCand > 0 (affine off -> sbtmvp &&
-        ph_temporal_mvp), >=8x8."""
-        return (self.cfg.sbtmvp and self.cfg.temporal_mvp
-                and self.slice_type != hls.I_SLICE
+        slice, MaxNumSubblockMergeCand > 0, >=8x8."""
+        return (self.slice_type != hls.I_SLICE
+                and self._max_sub_merge_cand() > 0
                 and w >= 8 and h >= 8)
 
-    def _try_sbtmvp(self, x, y, w, h, blk):
-        """SbTMVP trial (the subblock merge list's only candidate with
-        affine off) or None."""
-        if not self._subblock_merge_gate(w, h) or self.tmvp_ctx is None:
+    def _sbtmvp_derive(self, x, y, w, h):
+        """SbTMVP candidate derivation -> (ctr_mi, grid, sub_w, sub_h)
+        or None (getAffineMergeCand SbTMVP leg)."""
+        if not (self.cfg.sbtmvp and self.cfg.temporal_mvp) \
+                or self.tmvp_ctx is None:
             return None
         mf = self._mf()
         a1 = mf.get(x - 1, y + h - 1)
@@ -2792,8 +2824,43 @@ class FrameEncoder:
                     return None
                 if (mi.inter_dir & 2) and not self.refs_l1:
                     return None
-        # assemble per-subblock MC (xSubPuMC: independent sub-PUs, no
-        # BDOF/DMVR)
+        return sb
+
+    def _pred_trial_tus(self, x, y, w, h, pred, pcb, pcr):
+        """Per-TU transform/quant for a precomputed prediction ->
+        (tus, ssd, is_skip)."""
+        tus, ssd = [], 0.0
+        for (dx, dy, tw, th) in _tu_tiles(w, h):
+            tx, ty = x + dx, y + dy
+            tblk = self.org[ty:ty + th, tx:tx + tw]
+            tpred = pred[dy:dy + th, dx:dx + tw]
+            q, recon, cbf = self._tq(tblk, tpred, self.qp_eff)
+            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
+            tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
+                  "cbf": cbf, "recon": recon, "chroma": None}
+            if self.chroma:
+                csl = np.s_[dy // 2:(dy + th) // 2,
+                            dx // 2:(dx + tw) // 2]
+                ch, jmask = self._chroma_pair_eval(
+                    self.org_cb[ty // 2:(ty + th) // 2,
+                                tx // 2:(tx + tw) // 2], pcb[csl],
+                    self.org_cr[ty // 2:(ty + th) // 2,
+                                tx // 2:(tx + tw) // 2], pcr[csl],
+                    intra_cu=False)
+                tu["chroma"] = ch
+                tu["joint_cbcr"] = jmask
+                ssd += ch[0][3] + ch[1][3]
+            tus.append(tu)
+        is_skip = not any(
+            t["cbf"] or (t["chroma"] is not None
+                         and (t["chroma"][0][2] or t["chroma"][1][2]))
+            for t in tus)
+        return tus, ssd, is_skip
+
+    def _eval_sbtmvp(self, x, y, w, h, sb, sub_merge_idx):
+        """SbTMVP trial: per-subblock MC (xSubPuMC: independent
+        sub-PUs, no BDOF/DMVR) + TU eval."""
+        ctr_mi, grid, sub_w, sub_h = sb
         pred = np.zeros((h, w), np.int32)
         pcb = pcr = None
         if self.chroma:
@@ -2812,34 +2879,11 @@ class FrameEncoder:
                             = self._motion_pred_chroma(
                                 sx // 2, sy // 2, sub_w // 2,
                                 sub_h // 2, mi, pi)
-        tus, ssd = [], 0.0
-        for (dx, dy, tw, th) in _tu_tiles(w, h):
-            tx, ty = x + dx, y + dy
-            tblk = self.org[ty:ty + th, tx:tx + tw]
-            tpred = pred[dy:dy + th, dx:dx + tw]
-            q, recon, cbf = self._tq(tblk, tpred, self.qp_eff)
-            ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
-            tu = {"x": tx, "y": ty, "w": tw, "h": th, "q": q,
-                  "cbf": cbf, "recon": recon, "chroma": None}
-            if self.chroma:
-                csl = np.s_[dy // 2:(dy + th) // 2, dx // 2:(dx + tw) // 2]
-                ch, jmask = self._chroma_pair_eval(
-                    self.org_cb[ty // 2:(ty + th) // 2,
-                                tx // 2:(tx + tw) // 2], pcb[csl],
-                    self.org_cr[ty // 2:(ty + th) // 2,
-                                tx // 2:(tx + tw) // 2], pcr[csl],
-                    intra_cu=False)
-                tu["chroma"] = ch
-                tu["joint_cbcr"] = jmask
-                ssd += ch[0][3] + ch[1][3]
-            tus.append(tu)
-        trial = {"mi": ctr_mi, "m_idx": 0, "tus": tus, "ssd": ssd,
-                 "sbtmvp": (grid, sub_w, sub_h)}
-        trial["is_skip"] = not any(
-            t["cbf"] or (t["chroma"] is not None
-                         and (t["chroma"][0][2] or t["chroma"][1][2]))
-            for t in tus)
-        return trial
+        tus, ssd, is_skip = self._pred_trial_tus(x, y, w, h, pred,
+                                                 pcb, pcr)
+        return {"mi": ctr_mi, "m_idx": sub_merge_idx, "tus": tus,
+                "ssd": ssd, "sbtmvp": (grid, sub_w, sub_h),
+                "sub_merge_idx": sub_merge_idx, "is_skip": is_skip}
 
     def _commit_sbtmvp(self, x, y, w, h, qt_depth, trial):
         """Span the per-subblock motion into the maps (PU::spanMotionInfo
@@ -2868,6 +2912,574 @@ class FrameEncoder:
                     if mi.ref1 >= 0 else -1
         self._mark_tu_cbfs(trial)
         self.cu_log[(x, y)] = ("merge", trial)
+
+    # ------------------------------------------------------------------
+    # affine (PU::getAffineMergeCand / fillAffineMvpCand /
+    # InterSearch affine ME)
+
+    def _nb_pos(self, px, py):
+        """Restricted neighbor lookup -> maps grid index or None
+        (getCURestricted: coded, in-picture, WPP wavefront bound)."""
+        if self.wpp_xmax is not None and px >= self.wpp_xmax:
+            return None
+        return self.maps._at(px, py)
+
+    def _affine_nb(self, px, py):
+        """Affine-inheritance source covering (px, py): CU geometry +
+        CPMVs, or None (not coded / not a real affine CU — SbTMVP CUs
+        have mergeType != DEFAULT_N and are excluded)."""
+        p = self._nb_pos(px, py)
+        if p is None:
+            return None
+        m = self.maps
+        if m.aff_type[p] < 0:
+            return None
+        return {"x0": int(m.cu_x0[p]), "y0": int(m.cu_y0[p]),
+                "w": int(m.cu_w[p]), "h": int(m.cu_h[p]),
+                "atype": int(m.aff_type[p]),
+                "cpmv0": tuple((int(m.aff_cpmv0[p][i][0]),
+                                int(m.aff_cpmv0[p][i][1]))
+                               for i in range(3)),
+                "cpmv1": tuple((int(m.aff_cpmv1[p][i][0]),
+                                int(m.aff_cpmv1[p][i][1]))
+                               for i in range(3)),
+                "dir": int(m.inter_dir[p]),
+                "ref0": int(m.ref0[p]), "ref1": int(m.ref1[p]),
+                "poc0": int(m.ref_poc[p]), "poc1": int(m.ref_poc1[p]),
+                "bcw": int(m.bcw[p])}
+
+    def _nb_motion_full(self, px, py):
+        """Inter motion info at (px, py) for constructed-candidate
+        corners (getMotionInfo on a CU::isInter neighbor)."""
+        p = self._nb_pos(px, py)
+        if p is None:
+            return None
+        m = self.maps
+        if m.mode[p] >= 0 or m.inter_dir[p] == 0:
+            return None
+        return {"dir": int(m.inter_dir[p]),
+                "mv0": (int(m.mv0[p][0]), int(m.mv0[p][1])),
+                "mv1": (int(m.mv1[p][0]), int(m.mv1[p][1])),
+                "ref0": int(m.ref0[p]), "ref1": int(m.ref1[p]),
+                "bcw": int(m.bcw[p])}
+
+    def _inherit_from(self, nb, lst, x, y, w, h, cur_type):
+        """xInheritedAffineMv glue: CPMV extrapolation with the
+        top-CTU-boundary line-buffer rule."""
+        ctu = self.cfg.ctu_size
+        bottom = None
+        if (nb["y0"] + nb["h"]) % ctu == 0 and nb["y0"] + nb["h"] == y:
+            m = self.maps
+            gy = (nb["y0"] + nb["h"] - 4) // 4
+            mvmap = m.mv0 if lst == 0 else m.mv1
+            lbp = (gy, nb["x0"] // 4)
+            rbp = (gy, (nb["x0"] + nb["w"] - 4) // 4)
+            bottom = ((int(mvmap[lbp][0]), int(mvmap[lbp][1])),
+                      (int(mvmap[rbp][0]), int(mvmap[rbp][1])))
+        return affine_ops.inherited_cpmv(
+            nb["x0"], nb["y0"], nb["w"], nb["h"],
+            nb["cpmv0" if lst == 0 else "cpmv1"], nb["atype"],
+            x, y, w, h, cur_type, ctu, bottom_mvs=bottom)
+
+    def _affine_merge_list(self, x, y, w, h):
+        """PU::getAffineMergeCand (UnitTools.cpp:2550): SbTMVP slot,
+        inherited, constructed, zero padding. Returns candidate dicts
+        in normative order."""
+        max_c = self._max_sub_merge_cand()
+        is_b = self.slice_type == hls.B_SLICE and bool(self.refs_l1)
+        cands = []
+        sb = self._sbtmvp_derive(x, y, w, h)
+        if sb is not None:
+            cands.append({"kind": "sbtmvp", "sb": sb})
+        if not self.cfg.affine or len(cands) >= max_c:
+            return cands
+        zero = ((0, 0), (0, 0), (0, 0))
+        # inherited: one left {A0, A1}, one above {B0, B1, B2}
+        npu = []
+        for group in (((x - 1, y + h), (x - 1, y + h - 1)),
+                      ((x + w, y - 1), (x + w - 1, y - 1),
+                       (x - 1, y - 1))):
+            for pos in group:
+                nb = self._affine_nb(*pos)
+                if nb is not None:
+                    npu.append(nb)
+                    break
+        for nb in npu:
+            atype = nb["atype"]
+            cp0 = self._inherit_from(nb, 0, x, y, w, h, atype) \
+                if nb["dir"] != 2 else zero
+            cp1 = self._inherit_from(nb, 1, x, y, w, h, atype) \
+                if (is_b and nb["dir"] != 1) else zero
+            cands.append({"kind": "affine", "atype": atype,
+                          "dir": nb["dir"], "cpmv0": cp0, "cpmv1": cp1,
+                          "ref0": nb["ref0"], "ref1": nb["ref1"],
+                          "bcw": nb["bcw"]})
+            if len(cands) >= max_c:
+                return cands
+        # constructed: corner motion sources
+        mi = [None] * 4
+        nbcw = [inter.BCW_DEFAULT, inter.BCW_DEFAULT]
+        corner_pos = (((x - 1, y - 1), (x, y - 1), (x - 1, y)),
+                      ((x + w - 1, y - 1), (x + w, y - 1)),
+                      ((x - 1, y + h - 1), (x - 1, y + h)))
+        for i, group in enumerate(corner_pos):
+            for pos in group:
+                got = self._nb_motion_full(*pos)
+                if got is not None:
+                    mi[i] = got
+                    if i < 2:
+                        nbcw[i] = got["bcw"]
+                    break
+        if self.tmvp_ctx is not None:
+            t = self.tmvp_ctx
+            ctu = self.cfg.ctu_size
+            rb_x, rb_y = x + w - 4, y + h - 4
+            if (rb_x + 4) < t["pic_w"] and (rb_y + 4) < t["pic_h"] \
+                    and (rb_y & (ctu - 1)) + 4 < ctu:
+                c0x, c0y = rb_x + 4, rb_y + 4
+                d = 0
+                mv0 = mv1 = (0, 0)
+                m0 = inter.get_colocated_mv(
+                    t["col"], c0x, c0y, 0, t["cur_poc"],
+                    t["ref_poc_l0"], t["check_ldc"], t["col_from_l0"])
+                if m0 is not None:
+                    d, mv0 = 1, m0
+                if is_b and t.get("ref_poc_l1") is not None:
+                    m1 = inter.get_colocated_mv(
+                        t["col"], c0x, c0y, 1, t["cur_poc"],
+                        t["ref_poc_l1"], t["check_ldc"],
+                        t["col_from_l0"])
+                    if m1 is not None:
+                        d, mv1 = d | 2, m1
+                if d:
+                    mi[3] = {"dir": d, "mv0": mv0, "mv1": mv1,
+                             "ref0": 0 if d & 1 else -1,
+                             "ref1": 0 if d & 2 else -1,
+                             "bcw": inter.BCW_DEFAULT}
+        models = (((0, 1, 2), 0), ((0, 1, 3), 1), ((0, 2, 3), 2),
+                  ((1, 2, 3), 3), ((0, 1), 4), ((0, 2), 5))
+        start = 0 if self.cfg.affine_type else 4
+        for corners, midx in models[start:]:
+            srcs = [mi[c] for c in corners]
+            if any(s is None for s in srcs):
+                continue
+            d = 0
+            refid = [-1, -1]
+            for lst in (0, 1):
+                key = "ref0" if lst == 0 else "ref1"
+                rs = [s[key] for s in srcs]
+                if all(r >= 0 for r in rs) and \
+                        all(r == rs[0] for r in rs):
+                    d |= lst + 1
+                    refid[lst] = rs[0]
+            if d == 0:
+                continue
+            atype = 0 if len(corners) == 2 else 1
+            cps = []
+            for lst in (0, 1):
+                if d & (lst + 1):
+                    key = "mv0" if lst == 0 else "mv1"
+                    cmv = {c: srcs[i][key]
+                           for i, c in enumerate(corners)}
+                    cps.append(affine_ops.constructed_cpmv(
+                        midx, cmv, w, h))
+                else:
+                    cps.append(zero)
+            cands.append({"kind": "affine", "atype": atype, "dir": d,
+                          "cpmv0": cps[0], "cpmv1": cps[1],
+                          "ref0": refid[0], "ref1": refid[1],
+                          "bcw": (nbcw[1] if midx == 3 else nbcw[0])
+                          if d == 3 else inter.BCW_DEFAULT})
+            if len(cands) >= max_c:
+                return cands
+        while len(cands) < max_c:
+            cands.append({"kind": "affine", "atype": 0,
+                          "dir": 3 if is_b else 1,
+                          "cpmv0": zero, "cpmv1": zero,
+                          "ref0": 0, "ref1": 0 if is_b else -1,
+                          "bcw": inter.BCW_DEFAULT})
+        return cands
+
+    def _affine_pred(self, x, y, w, h, cand, luma_only=False):
+        """Affine MC for one candidate -> (pred, pcb, pcr, grids).
+        grids are the per-4x4 storage MV grids per list (None when the
+        list is unused)."""
+        bd = self.cfg.bit_depth
+        H, W = self.org.shape
+        ctu = self.cfg.ctu_size
+        atype = cand["atype"]
+        d_eff = d = cand["dir"]
+        use_prof = self.cfg.prof
+        if d == 3:
+            n = 3 if atype == 1 else 2
+            if self.ref_pocs[cand["ref0"]] == \
+                    self.ref_pocs_l1[cand["ref1"]] and \
+                    cand["cpmv0"][:n] == cand["cpmv1"][:n]:
+                d_eff = 1       # xCheckIdenticalMotion: uni-L0 MC
+        grids = [None, None]
+        if d & 1:
+            grids[0] = affine_ops.storage_mv_grid(
+                cand["cpmv0"], w, h, atype, d)
+        if d & 2:
+            grids[1] = affine_ops.storage_mv_grid(
+                cand["cpmv1"], w, h, atype, d)
+        pcb = pcr = None
+        if d_eff != 3:
+            lst = 0 if (d_eff & 1) else 1
+            ref = (self.refs if lst == 0 else
+                   self.refs_l1)[cand["ref0"] if lst == 0
+                                 else cand["ref1"]]
+            cp = cand["cpmv0"] if lst == 0 else cand["cpmv1"]
+            pred, _ = affine_ops.mc_luma(ref[1], x, y, w, h, cp, atype,
+                                         d, False, bd, W, H, ctu,
+                                         use_prof)
+            if self.chroma and not luma_only:
+                g = grids[lst]
+                pcb = affine_ops.mc_chroma(ref[2], x, y, w, h, g,
+                                           False, bd, W, H, ctu)
+                pcr = affine_ops.mc_chroma(ref[3], x, y, w, h, g,
+                                           False, bd, W, H, ctu)
+        else:
+            r0 = self.refs[cand["ref0"]]
+            r1 = self.refs_l1[cand["ref1"]]
+            p0, _ = affine_ops.mc_luma(r0[1], x, y, w, h,
+                                       cand["cpmv0"], atype, d, True,
+                                       bd, W, H, ctu, use_prof)
+            p1, _ = affine_ops.mc_luma(r1[1], x, y, w, h,
+                                       cand["cpmv1"], atype, d, True,
+                                       bd, W, H, ctu, use_prof)
+            pred = inter.bcw_avg(p0, p1, cand["bcw"], bd)
+            if self.chroma and not luma_only:
+                cb0 = affine_ops.mc_chroma(r0[2], x, y, w, h, grids[0],
+                                           True, bd, W, H, ctu)
+                cb1 = affine_ops.mc_chroma(r1[2], x, y, w, h, grids[1],
+                                           True, bd, W, H, ctu)
+                pcb = inter.bcw_avg(cb0, cb1, cand["bcw"], bd)
+                cr0 = affine_ops.mc_chroma(r0[3], x, y, w, h, grids[0],
+                                           True, bd, W, H, ctu)
+                cr1 = affine_ops.mc_chroma(r1[3], x, y, w, h, grids[1],
+                                           True, bd, W, H, ctu)
+                pcr = inter.bcw_avg(cr0, cr1, cand["bcw"], bd)
+        return pred, pcb, pcr, grids
+
+    def _affine_mi(self, cand, grids):
+        """CU-level MotionInfo stand-in (first subblock's MVs)."""
+        mv0 = (int(grids[0][0, 0, 0]), int(grids[0][0, 0, 1])) \
+            if grids[0] is not None else (0, 0)
+        mv1 = (int(grids[1][0, 0, 0]), int(grids[1][0, 0, 1])) \
+            if grids[1] is not None else (0, 0)
+        return inter.MotionInfo(cand["dir"], mv0, mv1, cand["ref0"],
+                                cand["ref1"], bcw=cand["bcw"])
+
+    def _eval_affine(self, x, y, w, h, cand, sub_merge_idx, mc=None):
+        """Full-RD trial for an affine candidate (merge when
+        sub_merge_idx is not None, else AMVP — caller attaches sig)."""
+        if mc is None:
+            mc = self._affine_pred(x, y, w, h, cand)
+        pred, pcb, pcr, grids = mc
+        tus, ssd, is_skip = self._pred_trial_tus(x, y, w, h, pred,
+                                                 pcb, pcr)
+        mi = self._affine_mi(cand, grids)
+        trial = {"mi": mi, "tus": tus, "ssd": ssd, "is_skip": is_skip,
+                 "affine": {"atype": cand["atype"], "grids": grids,
+                            "cpmv0": cand["cpmv0"],
+                            "cpmv1": cand["cpmv1"],
+                            "merge_idx": sub_merge_idx}}
+        if sub_merge_idx is not None:
+            trial["m_idx"] = sub_merge_idx
+            trial["sub_merge_idx"] = sub_merge_idx
+        return trial
+
+    def _try_subblock_merge(self, x, y, w, h, blk):
+        """Subblock merge trials: the normative shared list (SbTMVP +
+        affine), SAD-screened, full RD on the best few."""
+        if not self._subblock_merge_gate(w, h):
+            return []
+        cands = self._affine_merge_list(x, y, w, h)
+        trials = []
+        scored = []
+        seen = set()
+        for idx, cand in enumerate(cands):
+            if cand["kind"] == "sbtmvp":
+                trials.append(self._eval_sbtmvp(x, y, w, h,
+                                                cand["sb"], idx))
+                continue
+            if cand["ref0"] >= len(self.refs) or \
+                    (cand["dir"] & 2
+                     and cand["ref1"] >= len(self.refs_l1)):
+                continue
+            key = (cand["atype"], cand["dir"], cand["cpmv0"],
+                   cand["cpmv1"], cand["ref0"], cand["ref1"])
+            if key in seen:
+                continue
+            seen.add(key)
+            pred, _, _, grids = self._affine_pred(x, y, w, h, cand,
+                                                  luma_only=True)
+            sad = int(np.abs(blk - pred).sum())
+            scored.append((sad, idx, cand))
+        scored.sort(key=lambda e: e[:2])
+        for _, idx, cand in scored[:2]:
+            trials.append(self._eval_affine(x, y, w, h, cand, idx))
+        return trials
+
+    def _affine_flag_coded(self, w, h):
+        """affine_flag presence (CABACWriter.cpp:1866): sps affine,
+        inter slice, w and h > 8."""
+        return (self.cfg.affine and self.slice_type != hls.I_SLICE
+                and w > 8 and h > 8)
+
+    def _affine_ctx(self, x, y):
+        """DeriveCtx::CtxAffineFlag (ContextModelling.cpp:295)."""
+        m = self.maps
+        ctx = 0
+        p = m._at(x - 1, y)
+        ctx += 1 if p is not None and m.affine[p] else 0
+        p = m._at(x, y - 1)
+        ctx += 1 if p is not None and m.affine[p] else 0
+        return ctx
+
+    def _affine_amvp_cands(self, x, y, w, h, lst, ridx, atype):
+        """PU::fillAffineMvpCand (UnitTools.cpp:2072) -> exactly 2
+        CPMV-triple predictors (quarter-rounded internal units)."""
+        pocs = self.ref_pocs if lst == 0 else self.ref_pocs_l1
+        cur_ref_poc = pocs[ridx]
+        out = []
+
+        def inherit_at(pos):
+            nb = self._affine_nb(*pos)
+            if nb is None:
+                return None
+            for src in (lst, 1 - lst):
+                if (nb["dir"] & (src + 1)) == 0:
+                    continue
+                if nb["poc0" if src == 0 else "poc1"] != cur_ref_poc:
+                    continue
+                return self._inherit_from(nb, src, x, y, w, h, atype)
+            return None
+
+        for group in (((x - 1, y + h), (x - 1, y + h - 1)),
+                      ((x + w, y - 1), (x + w - 1, y - 1),
+                       (x - 1, y - 1))):
+            for pos in group:
+                cp = inherit_at(pos)
+                if cp is not None:
+                    out.append(cp)
+                    break
+        if len(out) >= 2:
+            return [affine_ops.round_cpmv_quarter(c) for c in out[:2]]
+
+        def trans_at(positions):
+            """addMVPCandUnscaled: first exact-POC translational MV."""
+            for pos in positions:
+                got = self._nb_motion_full(*pos)
+                if got is None:
+                    continue
+                for src in (lst, 1 - lst):
+                    key = "ref0" if src == 0 else "ref1"
+                    r = got[key]
+                    if r < 0:
+                        continue
+                    src_pocs = self.ref_pocs if src == 0 \
+                        else self.ref_pocs_l1
+                    if r < len(src_pocs) and \
+                            src_pocs[r] == cur_ref_poc:
+                        return got["mv0" if src == 0 else "mv1"]
+            return None
+
+        c0 = trans_at(((x - 1, y - 1), (x, y - 1), (x - 1, y)))
+        c1 = trans_at(((x + w - 1, y - 1), (x + w, y - 1)))
+        c2 = trans_at(((x - 1, y + h - 1), (x - 1, y + h)))
+        pattern = (1 if c0 is not None else 0) \
+            | (2 if c1 is not None else 0) \
+            | (4 if c2 is not None else 0)
+        q = inter.mv_round_to_quarter
+        corner = [None if c is None else (q(c[0]), q(c[1]))
+                  for c in (c0, c1, c2)]
+        if pattern == 7 or (pattern == 3 and atype == 0):
+            out.append((corner[0], corner[1],
+                        corner[2] if corner[2] is not None
+                        else (0, 0)))
+        if len(out) < 2:
+            for i in (2, 1, 0):
+                if len(out) >= 2:
+                    break
+                if pattern & (1 << i):
+                    out.append((corner[i], corner[i], corner[i]))
+            if len(out) < 2 and self.tmvp_ctx is not None:
+                t = self.tmvp_ctx
+                ctu = self.cfg.ctu_size
+                c0p, c1p = inter._tmvp_positions(
+                    x, y, w, h, t["pic_w"], t["pic_h"], ctu)
+                for pos in ([c0p, c1p] if c0p is not None else [c1p]):
+                    m = inter.get_colocated_mv(
+                        t["col"], pos[0], pos[1], lst, t["cur_poc"],
+                        cur_ref_poc, t["check_ldc"], t["col_from_l0"])
+                    if m is not None:
+                        mq = (q(m[0]), q(m[1]))
+                        out.append((mq, mq, mq))
+                        break
+            while len(out) < 2:
+                out.append(((0, 0), (0, 0), (0, 0)))
+        return [affine_ops.round_cpmv_quarter(c) for c in out[:2]]
+
+    def _affine_me(self, x, y, w, h, blk, lst, ridx, atype, preds):
+        """Gradient-based affine ME (AffineGradientSearch.cpp
+        equivalent, simplified): Gauss-Newton on the affine params from
+        each AMVP seed, quarter-pel CPMV grid."""
+        bd = self.cfg.bit_depth
+        H, W = self.org.shape
+        ctu = self.cfg.ctu_size
+        ref = (self.refs if lst == 0 else self.refs_l1)[ridx][1]
+        d = 1 if lst == 0 else 2
+        xs = np.arange(w, dtype=np.float64)[None, :]
+        ys = np.arange(h, dtype=np.float64)[:, None]
+        best = None
+        seeds = [preds[0]]
+        if preds[1] != preds[0]:
+            seeds.append(preds[1])
+        for seed in seeds:
+            cp = [list(v) for v in seed]
+            for _ in range(4):
+                pred, _g = affine_ops.mc_luma(
+                    ref, x, y, w, h, tuple(map(tuple, cp)), atype, d,
+                    False, bd, W, H, ctu, False)
+                err = (blk - pred).astype(np.float64)
+                gy_, gx_ = np.gradient(pred.astype(np.float64))
+                if atype == 0:
+                    cols = [gx_, gy_, gx_ * xs + gy_ * ys,
+                            -gx_ * ys + gy_ * xs]
+                else:
+                    cols = [gx_, gy_, gx_ * xs, gx_ * ys,
+                            gy_ * xs, gy_ * ys]
+                a_mat = np.stack([c.ravel() for c in cols], axis=1)
+                try:
+                    p, *_ = np.linalg.lstsq(a_mat, err.ravel(),
+                                            rcond=None)
+                except np.linalg.LinAlgError:
+                    break
+                if atype == 0:
+                    dlt = (p[0], p[1])
+                    drt = (p[0] + p[2] * w, p[1] + p[3] * w)
+                    dlb = (0.0, 0.0)
+                else:
+                    dlt = (p[0], p[1])
+                    drt = (p[0] + p[2] * w, p[1] + p[4] * w)
+                    dlb = (p[0] + p[3] * h, p[1] + p[5] * h)
+                moved = False
+                for i, dv in enumerate((dlt, drt, dlb)):
+                    if i == 2 and atype == 0:
+                        continue
+                    nx = inter.mv_round_to_quarter(
+                        cp[i][0] + int(round(dv[0] * 16)))
+                    ny = inter.mv_round_to_quarter(
+                        cp[i][1] + int(round(dv[1] * 16)))
+                    nx = max(-(1 << 17), min((1 << 17) - 1, nx))
+                    ny = max(-(1 << 17), min((1 << 17) - 1, ny))
+                    if (nx, ny) != tuple(cp[i]):
+                        moved = True
+                    cp[i] = [nx, ny]
+                if not moved:
+                    break
+            cpt = tuple((int(v[0]), int(v[1])) for v in cp)
+            pred, _g = affine_ops.mc_luma(ref, x, y, w, h, cpt, atype,
+                                          d, False, bd, W, H, ctu,
+                                          False)
+            sad = int(np.abs(blk - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, cpt)
+        return best
+
+    @staticmethod
+    def _affine_mvds(cp, preds, atype):
+        """Pick the mvp index minimizing CPMV MVD magnitude; MVDs in
+        quarter units with the corner-0 differential rule
+        (DecCu.cpp:979-987)."""
+        best = None
+        n = 3 if atype == 1 else 2
+        for mvp_idx, pr in enumerate(preds):
+            mvd0 = ((cp[0][0] - pr[0][0]) >> 2,
+                    (cp[0][1] - pr[0][1]) >> 2)
+            mvds = [mvd0]
+            for i in range(1, n):
+                mvds.append((((cp[i][0] - pr[i][0]) >> 2) - mvd0[0],
+                             ((cp[i][1] - pr[i][1]) >> 2) - mvd0[1]))
+            cost = sum(abs(a) + abs(b) for a, b in mvds)
+            if best is None or cost < best[0]:
+                best = (cost, mvp_idx, mvds)
+        return best[1], best[2]
+
+    def _try_affine_amvp(self, x, y, w, h, blk):
+        """Affine AMVP trials: 4-param uni L0/L1 + bi; 6-param for the
+        best direction when enabled."""
+        if not self._affine_flag_coded(w, h) or not self.refs:
+            return []
+        is_b = self.slice_type == hls.B_SLICE and bool(self.refs_l1)
+        trials = []
+
+        def build(atype, results):
+            """results: {lst: (cpmv, preds)} -> candidate + sig."""
+            d = sum(lst + 1 for lst in results)
+            cand = {"kind": "affine", "atype": atype, "dir": d,
+                    "cpmv0": results.get(0, (None,))[0] or
+                    ((0, 0),) * 3,
+                    "cpmv1": results.get(1, (None,))[0] or
+                    ((0, 0),) * 3,
+                    "ref0": 0 if 0 in results else -1,
+                    "ref1": 0 if 1 in results else -1,
+                    "bcw": inter.BCW_DEFAULT}
+            sig = {}
+            for lst, (cpv, preds) in results.items():
+                mvp_idx, mvds = self._affine_mvds(cpv, preds, atype)
+                sig[lst] = (mvp_idx, mvds, 0)
+            trial = self._eval_affine(x, y, w, h, cand, None)
+            trial["sig"] = {"affine": (atype, sig)}
+            return trial
+
+        for atype in ((0, 1) if self.cfg.affine_type else (0,)):
+            if atype == 1 and w * h < 256:
+                continue
+            res = {}
+            preds0 = self._affine_amvp_cands(x, y, w, h, 0, 0, atype)
+            me0 = self._affine_me(x, y, w, h, blk, 0, 0, atype, preds0)
+            if me0 is not None:
+                res[0] = (me0[1], preds0)
+                trials.append(build(atype, {0: res[0]}))
+            if is_b:
+                preds1 = self._affine_amvp_cands(x, y, w, h, 1, 0,
+                                                 atype)
+                me1 = self._affine_me(x, y, w, h, blk, 1, 0, atype,
+                                      preds1)
+                if me1 is not None:
+                    res[1] = (me1[1], preds1)
+                    trials.append(build(atype, {1: res[1]}))
+                if 0 in res and 1 in res:
+                    trials.append(build(atype, res))
+        return trials
+
+    def _commit_affine(self, x, y, w, h, qt_depth, trial):
+        """Commit an affine CU: span subblock MVs (setAllAffineMv) and
+        CPMVs into the maps; affine CUs do not enter HMVP."""
+        af = trial["affine"]
+        mi = trial["mi"]
+        m = self.maps
+        rp0 = self.ref_pocs[mi.ref0] if mi.ref0 >= 0 else -1
+        rp1 = self.ref_pocs_l1[mi.ref1] if mi.ref1 >= 0 else -1
+        m.mark_inter_cu(x, y, w, h, qt_depth, mi,
+                        skip=trial.get("is_skip", False),
+                        cbfs=self._trial_cbfs(trial),
+                        ref_poc0=rp0, ref_poc1=rp1)
+        sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
+        m.affine[sl] = True
+        m.aff_type[sl] = af["atype"]
+        if af["grids"][0] is not None:
+            m.mv0[sl] = af["grids"][0]
+        if af["grids"][1] is not None:
+            m.mv1[sl] = af["grids"][1]
+        m.aff_cpmv0[sl] = np.asarray(af["cpmv0"], np.int32)
+        m.aff_cpmv1[sl] = np.asarray(af["cpmv1"], np.int32)
+        self._mark_tu_cbfs(trial)
+        self.cu_log[(x, y)] = (
+            "merge" if af["merge_idx"] is not None else "inter", trial)
 
     def _eval_merge(self, x, y, w, h, blk, mi, m_idx):
         # DMVR applies to regular merge only (m_idx None = MMVD)
@@ -3122,20 +3734,25 @@ class FrameEncoder:
         regular_merge_flag signalled iff CIIP or GEO is available for
         this CU."""
         enc = self.enc
-        is_sb = "sbtmvp" in trial
+        is_sb = "sbtmvp" in trial or "affine" in trial
         if self._subblock_merge_gate(w, h):
             x0, y0 = trial["tus"][0]["x"], trial["tus"][0]["y"]
-            m = self.maps
-            ctx = 0
-            p = m._at(x0 - 1, y0)
-            ctx += 1 if p is not None and m.affine[p] else 0
-            p = m._at(x0, y0 - 1)
-            ctx += 1 if p is not None and m.affine[p] else 0
+            ctx = self._affine_ctx(x0, y0)
             enc.encode_bin(1 if is_sb else 0,
                            ctx_ids.SubblockMergeFlag[0] + ctx)
         if is_sb:
-            # merge_idx affine branch: MaxNumSubblockMergeCand == 1
-            # with affine off -> no index bins
+            # merge_idx affine branch (CABACWriter.cpp merge_idx):
+            # first bin ctx-coded, rest EP unary
+            nc = self._max_sub_merge_cand() - 1
+            if nc > 0:
+                idx = trial.get("sub_merge_idx", 0)
+                enc.encode_bin(0 if idx == 0 else 1,
+                               ctx_ids.AffMergeIdx[0])
+                if idx > 0:
+                    for k in range(1, nc):
+                        enc.encode_bin_ep(0 if idx == k else 1)
+                        if idx == k:
+                            break
             return
         mmvd_idx = trial.get("mmvd_idx")
         is_ciip = trial.get("ciip", False)
@@ -3265,6 +3882,37 @@ class FrameEncoder:
                 enc.encode_bin(0, ctx_ids.InterDir[0] + ctx_id)
                 enc.encode_bin(1 if mi.inter_dir == 2 else 0,
                                ctx_ids.InterDir[0] + 5)
+        # affine_flag + affine_type (CABACWriter.cpp:1866)
+        af_sig = sig.get("affine")
+        if self._affine_flag_coded(w, h):
+            enc.encode_bin(1 if af_sig else 0,
+                           ctx_ids.AffineFlag[0] + self._affine_ctx(x, y))
+            if af_sig and self.cfg.affine_type:
+                enc.encode_bin(af_sig[0], ctx_ids.AffineType[0])
+        if af_sig:
+            atype, per_list = af_sig
+            # smvd skipped (smvd_mode returns early for affine)
+            for lst in (0, 1):
+                if lst not in per_list or not (mi.inter_dir & (lst + 1)):
+                    continue
+                mvp_idx, mvds, ridx = per_list[lst]
+                self._write_ref_idx(lst, ridx)
+                for mvd in mvds:
+                    write_mvd(enc, mvd)
+                enc.encode_bin(mvp_idx, ctx_ids.MVPIdx[0])
+            # imv skipped for affine (imv_mode returns early);
+            # affine AMVR is off in the SPS
+            self._write_bcw_idx(w, h, mi)
+            root_cbf = any(
+                t["cbf"] or (t["chroma"] is not None
+                             and (t["chroma"][0][2]
+                                  or t["chroma"][1][2]))
+                for t in trial["tus"])
+            enc.encode_bin(1 if root_cbf else 0, ctx_ids.QtRootCbf[0])
+            if root_cbf:
+                self._write_sbt_mode(w, h, trial)
+                self._write_inter_tu(trial)
+            return
         # smvd_mode (CABACWriter.cpp:1836): bi CUs in a slice with a
         # symmetric reference pair
         is_smvd = "smvd" in sig

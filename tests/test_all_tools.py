@@ -44,8 +44,11 @@ def test_all_tools_random_access_bitexact():
         max_mtt_depth_intra=1, max_mtt_depth_inter=1,
         # every implemented tool at once
         mmvd=True, smvd=True, bcw=True, amvr=True, ciip=True, geo=True,
-        temporal_mvp=True, mts_intra=True, sbt=True, joint_cbcr=True,
-        mrl=True, cclm=True, sign_data_hiding=True, deblocking=True,
+        temporal_mvp=True, sbtmvp=True, bdof=True, dmvr=True,
+        affine=True, affine_type=True, prof=True,
+        mts_intra=True, sbt=True, joint_cbcr=True,
+        mrl=True, cclm=True, mip=True, lfnst=True,
+        sign_data_hiding=True, deblocking=True,
         sao=True, alf=True, picture_hash=True,
         num_reorder_pics=2, max_dec_pic_buffering=5)
     res = gop.RandomAccessEncoder(cfg, gop_size=4, me_range=8,
