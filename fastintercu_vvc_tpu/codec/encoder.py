@@ -81,10 +81,12 @@ def write_trunc_bin(enc, symbol: int, max_symbol: int):
         enc.encode_bins_ep(symbol, thresh + 1)
 
 
-def write_intra_luma_mode(enc, mode: int, mpm: list[int], mrl: int = 0):
-    """intra_luma_pred_modes parity (no MIP/ISP). mrl > 0: MPM-only,
+def write_intra_luma_mode(enc, mode: int, mpm: list[int], mrl: int = 0,
+                          isp: bool = False):
+    """intra_luma_pred_modes parity (no MIP). mrl > 0: MPM-only,
     planar excluded -> mpm flag and planar bin skipped
-    (CABACWriter.cpp intra_luma_pred_modes)."""
+    (CABACWriter.cpp intra_luma_pred_modes). isp: the planar-flag
+    context is 0 for ISP CUs (CABACWriter.cpp:1177)."""
     mpm_idx = mpm.index(mode) if mode in mpm else 6
     if mrl:
         assert 0 < mpm_idx < 6, "MRL mode must be a non-planar MPM"
@@ -94,7 +96,8 @@ def write_intra_luma_mode(enc, mode: int, mpm: list[int], mrl: int = 0):
     if mpm_idx < 6:
         if mrl == 0:
             enc.encode_bin(1 if mpm_idx > 0 else 0,
-                           ctx_ids.IntraLumaPlanarFlag[0] + 1)
+                           ctx_ids.IntraLumaPlanarFlag[0]
+                           + (0 if isp else 1))
         if mpm_idx:
             enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
         if mpm_idx > 1:
@@ -218,9 +221,13 @@ class _Maps:
         self.aff_type = np.full(shp, -1, np.int8)
         self.aff_cpmv0 = np.zeros(shp + (3, 2), np.int32)
         self.aff_cpmv1 = np.zeros(shp + (3, 2), np.int32)
+        # ISP CUs: luma TU split with no chroma split (deblocking must
+        # not treat the internal luma TU edges as chroma edges)
+        self.isp = np.zeros(shp, bool)
 
     def mark_intra_cu(self, x, y, w, h, qt_depth, mode,
-                      cbfs=(False, False, False), mip=False):
+                      cbfs=(False, False, False), mip=False,
+                      isp=False):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
         self.cu_w[sl] = w
         self.cu_h[sl] = h
@@ -239,6 +246,7 @@ class _Maps:
         self.affine[sl] = False
         self.aff_type[sl] = -1
         self.mip[sl] = mip
+        self.isp[sl] = isp
         self.coded[sl] = True
 
     def mark_inter_cu(self, x, y, w, h, qt_depth, mi, skip=False,
@@ -266,6 +274,7 @@ class _Maps:
         self.affine[sl] = False
         self.aff_type[sl] = -1
         self.mip[sl] = False
+        self.isp[sl] = False
         self.coded[sl] = True
 
     _FIELDS = ("cu_w", "cu_h", "qt_d", "mode", "coded", "skip",
@@ -273,7 +282,7 @@ class _Maps:
                "ref_poc1", "cu_x0", "cu_y0", "cbf_y", "cbf_cb", "cbf_cr",
                "bcw", "ciip", "tu_x0", "tu_y0", "tu_w", "tu_h",
                "dmvr_d", "affine", "mip",
-               "aff_type", "aff_cpmv0", "aff_cpmv1")
+               "aff_type", "aff_cpmv0", "aff_cpmv1", "isp")
 
     def region(self, x, y, w, h):
         sl = np.s_[y // 4:(y + h) // 4, x // 4:(x + w) // 4]
@@ -584,7 +593,8 @@ class FrameEncoder:
                 m.mv0, m.ref_poc, m.mv1, m.ref_poc1,
                 slice_is_b=self.slice_type == hls.B_SLICE,
                 tu_x0=m.tu_x0, tu_y0=m.tu_y0, tu_w=m.tu_w, tu_h=m.tu_h,
-                sub_pu=m.affine if m.affine.any() else None)
+                sub_pu=m.affine if m.affine.any() else None,
+                isp=m.isp if m.isp.any() else None)
             if cfg.cu_qp_delta:
                 info.qp_map = m.qp
                 info.chroma_tab = chroma_qp_table(bd) if self.chroma \
@@ -1656,6 +1666,14 @@ class FrameEncoder:
                         self._write_leaf_intra(x, y, w, h, t)
                         consider("intra", t)
 
+        # ----- ISP trials on the best intra mode so far -----
+        if self.cfg.isp and best is not None and best[1] == "intra" \
+                and "mip" not in best[2] and best[2].get("mrl", 0) == 0:
+            for t in self._try_isp(x, y, w, h, blk,
+                                   [best[2]["mode"]]):
+                self._write_leaf_intra(x, y, w, h, t)
+                consider("intra", t)
+
         # ----- inter options (P/B slice, not 4x4) -----
         if is_inter_slice and not (w == 4 and h == 4) and self.refs:
             for it in self._try_inter_amvp(x, y, w, h, blk):
@@ -1801,7 +1819,9 @@ class FrameEncoder:
             tx, ty, tw, th = tu["x"], tu["y"], tu["w"], tu["h"]
             self.recon[ty:ty + th, tx:tx + tw] = tu["recon"]
             if self.chroma and tu["chroma"] is not None:
-                self._commit_chroma(tx, ty, tw, th, tu["chroma"])
+                # ISP: the last sub-TU carries the CU-sized chroma
+                ca = tu.get("chroma_area", (tx, ty, tw, th))
+                self._commit_chroma(*ca, tu["chroma"])
 
     def _mark_tu_cbfs(self, trial):
         """Per-TU cbf granularity in the maps (TU-accurate deblocking
@@ -1826,12 +1846,20 @@ class FrameEncoder:
                        tu["x"] // 4:(tu["x"] + tu["w"]) // 4]
             ch = tu["chroma"]
             m.cbf_y[sl] = tu["cbf"]
-            m.cbf_cb[sl] = bool(ch is not None and ch[0][2])
-            m.cbf_cr[sl] = bool(ch is not None and ch[1][2])
             m.tu_x0[sl] = tu["x"]
             m.tu_y0[sl] = tu["y"]
             m.tu_w[sl] = tu["w"]
             m.tu_h[sl] = tu["h"]
+            if ch is not None and "chroma_area" in tu:
+                # ISP: the CU-sized chroma TU spans the whole CU
+                cx_, cy_, cw_, ch_ = tu["chroma_area"]
+                csl = np.s_[cy_ // 4:(cy_ + ch_) // 4,
+                            cx_ // 4:(cx_ + cw_) // 4]
+                m.cbf_cb[csl] = bool(ch[0][2])
+                m.cbf_cr[csl] = bool(ch[1][2])
+            elif "chroma_area" not in tu:
+                m.cbf_cb[sl] = bool(ch is not None and ch[0][2])
+                m.cbf_cr[sl] = bool(ch is not None and ch[1][2])
 
     def _commit_intra(self, x, y, w, h, qt_depth, trial):
         self._commit_trial_recon(trial)
@@ -1839,7 +1867,8 @@ class FrameEncoder:
         # MPM and DM-chroma derivations of later CUs see planar)
         self.maps.mark_intra_cu(x, y, w, h, qt_depth, trial["mode"],
                                 cbfs=self._trial_cbfs(trial),
-                                mip="mip" in trial)
+                                mip="mip" in trial,
+                                isp=bool(trial.get("isp")))
         self._mark_tu_cbfs(trial)
         self.cu_log[(x, y)] = ("intra", trial)
 
@@ -1944,6 +1973,162 @@ class FrameEncoder:
                 "mts_idx": mts_idx, "mrl": mrl,
                 "chroma_mode": chroma_mode}
 
+    # ------------------------------------------------------------------
+    # ISP — intra sub-partitions (IntraSearch ISP loop,
+    # IntraPrediction.cpp:804 initIntraPatternChTypeISP,
+    # UnitTools.cpp:452 canUseISP / :493 getISPSplitDim)
+
+    def _isp_allowed(self, w, h):
+        """canUseISP: enough samples to split, fits the max TB."""
+        max_tb = 1 << self.cfg.log2_max_tb
+        if (w.bit_length() - 1) + (h.bit_length() - 1) <= 4:
+            return False
+        return w <= max_tb and h <= max_tb
+
+    def _isp_refs(self, x, y, w, h, ver, k, pw, ph, cu_top, cu_left,
+                  recon_cu):
+        """Reference arrays for ISP partition k
+        (initIntraPatternChTypeISP): partition 0 uses the CU-origin
+        fill; later partitions read the row/column just outside the
+        partition from the in-progress CU reconstruction and shift the
+        CU-side reference for the other edge."""
+        if k == 0:
+            return cu_top, cu_left
+        if not ver:
+            # HOR split: top row from recon, left = CU-left shifted
+            y_off = k * ph
+            left_len = h + ph
+            left = np.empty(left_len + 1, np.int64)
+            if self._nb_pos(x - 1, y) is not None:
+                n = min(left_len + 1, len(cu_left) - k * ph)
+                left[:n] = cu_left[k * ph:k * ph + n]
+                if n < left_len + 1:
+                    left[n:] = left[n - 1]
+            else:
+                left[:] = recon_cu[y_off - 1, 0]
+            top = np.empty(2 * w + 1, np.int64)
+            top[0] = left[0]
+            top[1:w + 1] = recon_cu[y_off - 1, :w]
+            top[w + 1:] = top[w]
+            return top, left
+        # VER split: left column from recon, top = CU-above shifted
+        x_off = k * pw
+        top_len = w + pw
+        top = np.empty(top_len + 1, np.int64)
+        if self._nb_pos(x, y - 1) is not None:
+            n = min(top_len + 1, len(cu_top) - k * pw)
+            top[:n] = cu_top[k * pw:k * pw + n]
+            if n < top_len + 1:
+                top[n:] = top[n - 1]
+        else:
+            top[:] = recon_cu[0, x_off - 1]
+        left = np.empty(2 * h + 1, np.int64)
+        left[0] = top[0]
+        left[1:h + 1] = recon_cu[:h, x_off - 1]
+        left[h + 1:] = left[h]
+        return top, left
+
+    def _isp_tr_kinds(self, pw, ph):
+        """Implicit ISP transform pair (TrQuant::getTrTypes): DST7 for
+        4..16, DCT2 otherwise; all-DCT2 when sps_mts is off."""
+        if not (self.cfg.mts_intra or self.cfg.mts_inter):
+            return tnp.DCT2, tnp.DCT2
+        kh = tnp.DST7 if 4 <= pw <= 16 else tnp.DCT2
+        kv = tnp.DST7 if 4 <= ph <= 16 else tnp.DCT2
+        return kh, kv
+
+    def _eval_isp(self, x, y, w, h, blk, mode, ver):
+        """One ISP trial (mode, split dir): sequential per-partition
+        predict/transform/quant/reconstruct. Restricted to partitions
+        >= 4 samples in the split dimension (split dim >= 16) — narrow
+        1/2-wide TUs are not emitted. None when unusable or when every
+        partition quantizes to zero (the inferred last cbf could not
+        be honored)."""
+        bd = self.cfg.bit_depth
+        if ver:
+            pw, ph, n = w // 4, h, 4
+        else:
+            pw, ph, n = w, h // 4, 4
+        cu_top, cu_left = intra.build_refs_grid(
+            self.recon, x, y, w, h, bd, self.maps.coded,
+            xmax=self.wpp_xmax)
+        ref_lengths = (w + pw, 2 * h) if ver else (2 * w, h + ph)
+        recon_cu = np.zeros((h, w), np.int32)
+        kh, kv = self._isp_tr_kinds(pw, ph)
+        irap = self.slice_type == hls.I_SLICE
+        tus = []
+        ssd = 0.0
+        any_cbf = False
+        for k in range(n):
+            px = x + (k * pw if ver else 0)
+            py = y + (0 if ver else k * ph)
+            top, left = self._isp_refs(x, y, w, h, ver, k, pw, ph,
+                                       cu_top, cu_left, recon_cu)
+            pred = intra.predict(mode, top, left, pw, ph, bd,
+                                 isp_cu_dims=(w, h),
+                                 ref_lengths=ref_lengths)
+            pblk = self.org[py:py + ph, px:px + pw]
+            coeff = tnp.fwd_transform_2d(pblk - pred, kind_h=kh,
+                                         kind_v=kv, bit_depth=bd)
+            if self.cfg.dep_quant:
+                q = tnp.quant_dep(coeff, self.qp_eff, bit_depth=bd,
+                                  is_irap=irap)
+            else:
+                q = self._maybe_sdh(tnp.quant(coeff, self.qp_eff,
+                                              bit_depth=bd,
+                                              is_irap=irap))
+            cbf = bool(np.any(q))
+            if cbf:
+                if self.cfg.dep_quant:
+                    dq = tnp.dequant_dep(q, self.qp_eff, bit_depth=bd)
+                else:
+                    dq = tnp.dequant(q, self.qp_eff, bit_depth=bd)
+                r = tnp.inv_transform_2d(dq, kind_h=kh, kind_v=kv,
+                                         bit_depth=bd)
+                rec = _clip_pel(pred + r, bd)
+            else:
+                rec = _clip_pel(pred, bd)
+            any_cbf |= cbf
+            ssd += float(((pblk - rec).astype(np.int64) ** 2).sum())
+            if ver:
+                recon_cu[:, k * pw:(k + 1) * pw] = rec
+            else:
+                recon_cu[k * ph:(k + 1) * ph, :] = rec
+            tus.append({"x": px, "y": py, "w": pw, "h": ph, "q": q,
+                        "cbf": cbf, "recon": rec, "chroma": None})
+        if not any_cbf:
+            return None     # last partition's cbf would be inferred 1
+        chroma_mode = "dm"
+        if self.chroma:
+            save = self.recon[y:y + h, x:x + w].copy()
+            self.recon[y:y + h, x:x + w] = recon_cu
+            ch, chroma_mode, jmask = self._best_chroma_intra(
+                x, y, w, h, mode)
+            self.recon[y:y + h, x:x + w] = save
+            tus[-1]["chroma"] = ch          # chroma coded in the last TU
+            tus[-1]["joint_cbcr"] = jmask
+            tus[-1]["chroma_area"] = (x, y, w, h)
+            ssd += ch[0][3] + ch[1][3]
+        return {"mode": mode, "tus": tus, "ssd": ssd, "mts_idx": 0,
+                "mrl": 0, "chroma_mode": chroma_mode,
+                "isp": 2 if ver else 1}
+
+    def _try_isp(self, x, y, w, h, blk, modes):
+        """ISP trials for the given candidate modes, both split
+        directions (restricted: split dim >= 16 keeps every partition
+        >= 4 wide/high)."""
+        if not self.cfg.isp or not self._isp_allowed(w, h):
+            return []
+        out = []
+        for ver in (False, True):
+            if (w if ver else h) < 16:
+                continue
+            for mode in modes:
+                t = self._eval_isp(x, y, w, h, blk, mode, ver)
+                if t is not None:
+                    out.append(t)
+        return out
+
     def _eval_intra_lfnst(self, x, y, w, h, blk, base_trial, lfnst_idx):
         """LFNST variant of an intra trial (DCT2 primary with the
         LFNST zero-out, forward secondary transform, scalar quant) —
@@ -2005,12 +2190,15 @@ class FrameEncoder:
     def _lfnst_signallable(self, w, h, trial):
         """residual_lfnst_mode parse conditions derived from the
         actual coefficients (CABACWriter.cpp:2771 + the per-TU flag
-        tracking at :2662-2671)."""
+        tracking at :2662-2671). ISP CUs: the lfnstLastScanPos
+        condition is waived (CABACWriter.cpp:2801); partition dims are
+        always >= 4 here so canUseLfnstWithISP holds."""
         from ..ops import rom
         if w > 64 or h > 64:
             return False
         if "mip" in trial and (w < 16 or h < 16):
             return False
+        is_isp = bool(trial.get("isp"))
         last_ok = False
         violates = False
         for tu in trial["tus"]:
@@ -2043,7 +2231,7 @@ class FrameEncoder:
                                 or (cw == 8 and chh == 8)) else 15
                 violates |= last > max_pos
                 last_ok |= last >= 1
-        return last_ok and not violates
+        return (last_ok or is_isp) and not violates
 
     def _write_lfnst_idx(self, w, h, trial):
         """residual_lfnst_mode (CABACWriter.cpp:2771), single tree."""
@@ -3496,23 +3684,29 @@ class FrameEncoder:
     # ------------------------------------------------------------------
     # syntax writers
 
-    def _write_tu(self, tu, infer_luma_cbf=False, is_intra=False):
+    def _write_tu(self, tu, infer_luma_cbf=False, is_intra=False,
+                  isp_prev_cbf=None, chroma_present=True):
         """transform_unit parity (CABACReader.cpp:2719): cbf_cb, cbf_cr
         (before luma cbf; Cr context depends on this TU's Cb), luma cbf
         (unless inferred), tu_joint_cbcr_residual_flag
         (CABACWriter.cpp:2611), then residual Y, Cb, Cr (Cr skipped for
-        joint mask 3)."""
+        joint mask 3). isp_prev_cbf: ISP sub-TU luma cbf context
+        (DeriveCtx::CtxQtCbf -> 2 + prevCbf); chroma_present=False for
+        ISP sub-TUs before the last."""
         enc = self.enc
         ch = tu["chroma"]
         cbf_cb = ch is not None and ch[0][2]
         cbf_cr = ch is not None and ch[1][2]
         joint = tu.get("joint_cbcr", 0)
-        if self.chroma:
+        if self.chroma and chroma_present:
             enc.encode_bin(1 if cbf_cb else 0, ctx_ids.QtCbf[1][0])
             enc.encode_bin(1 if cbf_cr else 0,
                            ctx_ids.QtCbf[2][0] + (1 if cbf_cb else 0))
         if not infer_luma_cbf:
-            enc.encode_bin(1 if tu["cbf"] else 0, ctx_ids.QtCbf[0][0])
+            ctx_off = 0 if isp_prev_cbf is None \
+                else 2 + (1 if isp_prev_cbf else 0)
+            enc.encode_bin(1 if tu["cbf"] else 0,
+                           ctx_ids.QtCbf[0][0] + ctx_off)
         luma_cbf_eff = tu["cbf"] if not infer_luma_cbf else tu["cbf"]
         if self.cfg.cu_qp_delta and not self.dqp_coded and \
                 (luma_cbf_eff or cbf_cb or cbf_cr
@@ -3587,8 +3781,16 @@ class FrameEncoder:
             if mrl > 0:
                 enc.encode_bin(1 if mrl > 1 else 0,
                                ctx_ids.MultiRefLineIdx[0] + 1)
+        # isp_mode (CABACWriter.cpp:2752): after extend_ref_line, gated
+        # on mrl == 0 and canUseISP
+        isp = trial.get("isp", 0)
+        if self.cfg.isp and mrl == 0 and self._isp_allowed(w, h):
+            enc.encode_bin(1 if isp else 0, ctx_ids.ISPMode[0])
+            if isp:
+                enc.encode_bin(isp - 1, ctx_ids.ISPMode[0] + 1)
         mpm = self._mpms(x, y, w, h)
-        write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl)
+        write_intra_luma_mode(enc, trial["mode"], mpm, mrl=mrl,
+                              isp=bool(isp))
         self._write_intra_chroma_and_tus(trial)
         self._write_lfnst_idx(w, h, trial)
         self._write_mts_idx(w, h, trial)
@@ -3610,6 +3812,23 @@ class FrameEncoder:
                             0 if cm == intra.MDLM_L_IDX else 1)
             if cm == "dm":
                 enc.encode_bin(0, ctx_ids.IntraChromaPredMode[0])
+        if trial.get("isp"):
+            # ISP transform tree (CABACWriter transform_unit ISP arm):
+            # luma cbf ctx 2+prevCbf, last-TU cbf inferred 1 when all
+            # previous are 0, chroma coded with the last sub-TU only
+            tus = trial["tus"]
+            prev = False
+            any_prev = False
+            for i, tu in enumerate(tus):
+                last = i == len(tus) - 1
+                infer = last and not any_prev
+                self._write_tu(tu, is_intra=True,
+                               infer_luma_cbf=infer,
+                               isp_prev_cbf=None if infer else prev,
+                               chroma_present=last and self.chroma)
+                prev = tu["cbf"]
+                any_prev = any_prev or tu["cbf"]
+            return
         for tu in trial["tus"]:       # intra: luma cbf always signalled
             self._write_tu(tu, is_intra=True)
 
@@ -3617,8 +3836,9 @@ class FrameEncoder:
         """mts_idx after the transform tree (CABACWriter.cpp:2721:
         signalled iff MTS allowed, luma has coeffs beyond DC, and no
         significant CG outside 16x16)."""
-        if not self._mts_allowed(w, h) or trial.get("lfnst"):
-            return
+        if not self._mts_allowed(w, h) or trial.get("lfnst") \
+                or trial.get("isp"):
+            return      # ISP: implicit transform, no mts_idx
         tu = trial["tus"][0]
         if not tu["cbf"] or tu.get("ts"):
             return

@@ -66,6 +66,10 @@ class DeblockInfo:
     qp_map: np.ndarray | None = None
     # chroma QP mapping table indexed by qp + 6*(bd-8) (for qp_map)
     chroma_tab: np.ndarray | None = None
+    # ISP CUs: luma-only TU split — internal TU edges are not chroma
+    # edges (LoopFilter marks TU edges per component; ISP sub-TUs have
+    # no chroma blocks)
+    isp: np.ndarray | None = None
 
     def at(self, x, y):
         return y // 4, x // 4
@@ -619,11 +623,23 @@ def _deblock_cu_edge(ry, rcb, rcr, info, cx, cy, cw, ch, hor, qp, qp_c,
         if bs_cb == 0 and bs_cr == 0:
             continue
         gq = info.at(px, py)
+        if info.isp is not None and info.isp[gq]:
+            # internal ISP luma TU edge: no chroma TU boundary here
+            internal = (py != int(info.cu_y0[gq])) if hor \
+                else (px != int(info.cu_x0[gq]))
+            if internal:
+                continue
         gp = info.at(px - (0 if hor else 4), py - (4 if hor else 0))
-        # chroma sizes in chroma samples
+        # chroma sizes in chroma samples (ISP: the chroma TU is the
+        # whole CU — the luma sub-TU dims do not apply)
         if info.tu_w is not None:
-            size_q = int(info.tu_h[gq] if hor else info.tu_w[gq]) // 2
-            size_p = int(info.tu_h[gp] if hor else info.tu_w[gp]) // 2
+            def _csize(g):
+                if info.isp is not None and info.isp[g]:
+                    return int(info.cu_h[g] if hor
+                               else info.cu_w[g]) // 2
+                return int(info.tu_h[g] if hor else info.tu_w[g]) // 2
+            size_q = _csize(gq)
+            size_p = _csize(gp)
         else:
             size_q = min(int(info.cu_h[gq] if hor else info.cu_w[gq]),
                          64) // 2

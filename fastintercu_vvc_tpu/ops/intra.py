@@ -79,15 +79,24 @@ def is_integer_slope(abs_ang: int) -> bool:
     return (abs_ang & 31) == 0
 
 
-def pred_params(mode: int, w: int, h: int, mrl: int = 0):
-    """initPredIntraParams parity for luma, no ISP/MIP/BDPCM; mrl =
-    multiRefIdx (reference smoothing/MDIS and PDPC disabled for
-    mrl > 0, IntraPrediction.cpp:374,408-414).
+def pred_params(mode: int, w: int, h: int, mrl: int = 0,
+                isp_cu_dims=None):
+    """initPredIntraParams parity for luma; mrl = multiRefIdx
+    (reference smoothing/MDIS and PDPC disabled for mrl > 0,
+    IntraPrediction.cpp:374,408-414). isp_cu_dims = (cuW, cuH) for ISP
+    partitions: the wide-angle mapping uses the CU dimensions while
+    PDPC uses the partition dimensions, and reference
+    smoothing/interpolation-filter switching is disabled
+    (IntraPrediction.cpp:366,411).
 
     -> dict(refFilter, interpFilter, applyPDPC, angularScale, predMode,
     mrl)
     """
-    pred_mode = modified_wide_angle(w, h, mode)
+    if isp_cu_dims is not None:
+        pred_mode = modified_wide_angle(isp_cu_dims[0], isp_cu_dims[1],
+                                        mode)
+    else:
+        pred_mode = modified_wide_angle(w, h, mode)
     apply_pdpc = w >= 4 and h >= 4 and mrl == 0
     ref_filter = False
     interp_filter = False
@@ -103,7 +112,7 @@ def pred_params(mode: int, w: int, h: int, mrl: int = 0):
                 2, (side.bit_length() - 1)
                 - (((3 * inv_ang - 2).bit_length() - 1) - 8))
             apply_pdpc = apply_pdpc and angular_scale >= 0
-        if mode != DC_IDX and mrl == 0:
+        if mode != DC_IDX and mrl == 0 and isp_cu_dims is None:
             diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
             log2_size = (((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1)
             if diff > INTRA_FILTER_THRES[log2_size]:
@@ -112,7 +121,7 @@ def pred_params(mode: int, w: int, h: int, mrl: int = 0):
                 else:
                     interp_filter = True
     elif mode == PLANAR_IDX:
-        ref_filter = w * h > 32 and mrl == 0
+        ref_filter = w * h > 32 and mrl == 0 and isp_cu_dims is None
     return dict(refFilter=ref_filter, interpFilter=interp_filter,
                 applyPDPC=apply_pdpc, angularScale=angular_scale,
                 predMode=pred_mode, mrl=mrl)
@@ -328,8 +337,8 @@ def _pdpc_planar_dc(pred, top, left):
 
 def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
                     w: int, h: int, params=None,
-                    bit_depth: int = 10, chroma: bool = False
-                    ) -> np.ndarray:
+                    bit_depth: int = 10, chroma: bool = False,
+                    ref_lengths=None) -> np.ndarray:
     """xPredIntraAng parity. top/left must already be filtered if
     params['refFilter']. chroma=True uses the 2-tap linear
     interpolation (IntraPrediction.cpp:~590 'Do linear filtering').
@@ -361,7 +370,13 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
         side = src_side
         off += mrl            # refMain += multiRefIdx
     else:
-        refLength = 2 * width
+        # refLength = m_topRefLength / m_leftRefLength — 2*width in the
+        # standard case, shortened/extended for ISP partitions
+        # (IntraPrediction.cpp xPredIntraAng positive-angle fill)
+        if ref_lengths is not None:
+            refLength = ref_lengths[0] if is_ver else ref_lengths[1]
+        else:
+            refLength = 2 * width
         max_ext = 3 + mrl * 4
         refMain = np.zeros(refLength + mrl + max_ext, np.int64)
         off = 0
@@ -437,13 +452,16 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
 
 def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
             bit_depth: int = 10, chroma: bool = False,
-            mrl: int = 0) -> np.ndarray:
+            mrl: int = 0, isp_cu_dims=None,
+            ref_lengths=None) -> np.ndarray:
     """Full intra prediction incl. PDPC. top/left are UNFILTERED;
     smoothing is applied internally per the MDIS rules (luma only —
     initPredIntraParams disables smoothing for chroma). mrl: multi
     reference line index (top/left from build_refs_grid(mrl=k);
-    planar is not valid for mrl > 0)."""
-    params = pred_params(mode, w, h, mrl=mrl)
+    planar is not valid for mrl > 0). isp_cu_dims/ref_lengths: ISP
+    partition prediction (CU-dims wide-angle mapping, adjusted
+    m_topRefLength/m_leftRefLength)."""
+    params = pred_params(mode, w, h, mrl=mrl, isp_cu_dims=isp_cu_dims)
     if chroma:
         params = dict(params, refFilter=False)
     if params["refFilter"]:
@@ -459,7 +477,7 @@ def predict(mode: int, top: np.ndarray, left: np.ndarray, w: int, h: int,
             p = _pdpc_planar_dc(p, top, left)
     else:
         p = predict_angular(mode, top, left, w, h, params, bit_depth,
-                            chroma=chroma)
+                            chroma=chroma, ref_lengths=ref_lengths)
     return p
 
 

@@ -47,7 +47,7 @@ def test_all_tools_random_access_bitexact():
         temporal_mvp=True, sbtmvp=True, bdof=True, dmvr=True,
         affine=True, affine_type=True, prof=True,
         mts_intra=True, sbt=True, joint_cbcr=True,
-        mrl=True, cclm=True, mip=True, lfnst=True,
+        mrl=True, cclm=True, mip=True, lfnst=True, isp=True,
         sign_data_hiding=True, deblocking=True,
         sao=True, alf=True, picture_hash=True,
         num_reorder_pics=2, max_dec_pic_buffering=5)
