@@ -381,6 +381,8 @@ class FrameEncoder:
         self.cfg = cfg
         self.num_mode_cands = num_mode_cands
         self.me_range = me_range
+        self.lmcs_model = None          # derived on the first frame
+        self.cur_cu_origin = (0, 0)
 
     def _set_cu_qp(self, qp):
         """Set the active QP (per CTU with cu-delta-QP)."""
@@ -510,6 +512,17 @@ class FrameEncoder:
                         self.smvd_refs = (b0, f1)
         self.pc = self._pc(slice_type)
         self.org = org_y.astype(np.int32)
+        # LMCS: the frame is coded in the mapped luma domain — map the
+        # org once (the curve is derived from the first frame and kept
+        # for the sequence: one LMCS APS, repeated per AU)
+        self.lmcs = None
+        if cfg.lmcs:
+            from ..ops import lmcs as lmcs_ops
+            if getattr(self, "lmcs_model", None) is None:
+                self.lmcs_model = lmcs_ops.derive_curve(self.org,
+                                                        cfg.bit_depth)
+            self.lmcs = self.lmcs_model
+            self.org = self.lmcs.fwd_lut[self.org]
         self.recon = np.zeros((H, W), np.int32)
         if self.chroma:
             self.org_cb = org_u.astype(np.int32)
@@ -583,6 +596,11 @@ class FrameEncoder:
                     self.ctu_qp_log[(x, y)] = (self.qp, self.qg_pred,
                                                self.dqp_coded)
                     self.prev_qg_qp = eff
+
+        if self.lmcs is not None:
+            # inverse-map the luma recon before the in-loop filters
+            # (the decoder's picture reshaping precedes deblocking)
+            self.recon = self.lmcs.inv_lut[self.recon]
 
         if cfg.deblocking:
             from ..ops import deblock
@@ -673,7 +691,12 @@ class FrameEncoder:
                                 active_l0=self.n_act0,
                                 active_l1=self.n_act1,
                                 temporal_id=temporal_id)
-        bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)])
+        extra_nals = []
+        if self.lmcs is not None:
+            extra_nals.append((hls.NAL_PREFIX_APS,
+                               hls.write_aps_lmcs(cfg, self.lmcs)))
+        bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)],
+                                      extra_nals=extra_nals)
         if cfg.picture_hash:
             sei = hls.sei_picture_hash_nal(
                 self.recon, self.recon_cb if self.chroma else None,
@@ -1178,18 +1201,53 @@ class FrameEncoder:
         """C-style truncating integer division on arrays."""
         return np.sign(v) * (np.abs(v) // d)
 
+    def _tq_chroma(self, blk, pred, lmcs_scale=None):
+        """Chroma TQ with optional LMCS residual scaling ->
+        (q, recon, cbf, ssd)."""
+        from ..ops import lmcs as lmcs_ops
+        bd = self.cfg.bit_depth
+        if lmcs_scale is None:
+            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
+        else:
+            irap = self.slice_type == hls.I_SLICE
+            resi = lmcs_ops.scale_fwd(
+                (blk - pred).astype(np.int32), lmcs_scale, bd)
+            coeff = tnp.fwd_transform_2d(resi, bit_depth=bd)
+            if self.cfg.dep_quant:
+                q = tnp.quant_dep(coeff, self.qp_c_eff, bit_depth=bd,
+                                  is_irap=irap)
+            else:
+                q = self._maybe_sdh(
+                    tnp.quant(coeff, self.qp_c_eff, bit_depth=bd,
+                              is_irap=irap))
+            cbf = bool(np.any(q))
+            if cbf:
+                if self.cfg.dep_quant:
+                    dq = tnp.dequant_dep(q, self.qp_c_eff, bit_depth=bd)
+                else:
+                    dq = tnp.dequant(q, self.qp_c_eff, bit_depth=bd)
+                r = lmcs_ops.scale_inv(
+                    tnp.inv_transform_2d(dq, bit_depth=bd),
+                    lmcs_scale, bd)
+                recon = _clip_pel(pred + r, bd)
+            else:
+                recon = _clip_pel(pred, bd)
+        ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
+        return (q, recon, cbf, ssd)
+
     def _chroma_pair_eval(self, blk_cb, pred_cb, blk_cr, pred_cr,
-                          intra_cu):
+                          intra_cu, lmcs_scale=None):
         """Separate Cb/Cr TQ, plus joint-CbCr (ICT) candidates when
         enabled (TrQuant fwdTransformCbCr modes +1/+2/+3, sign flag 0;
         selectICTCandidates tests all masks for intra, mask 3 for
-        inter). -> (outs, joint_mask)."""
+        inter). lmcs_scale: chroma residual scale (CSCALE_FP_PREC
+        fixed point) — residuals forward-scaled before T/Q, recon uses
+        the decoder's inverse scaling. -> (outs, joint_mask)."""
+        from ..ops import lmcs as lmcs_ops
         bd = self.cfg.bit_depth
 
         def tq_pair(blk, pred):
-            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
-            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-            return (q, recon, cbf, ssd)
+            return self._tq_chroma(blk, pred, lmcs_scale)
 
         def proxy(outs, extra_bins):
             c = self.lam * extra_bins
@@ -1206,8 +1264,18 @@ class FrameEncoder:
         sep = [tq_pair(blk_cb, pred_cb), tq_pair(blk_cr, pred_cr)]
         if not self.cfg.joint_cbcr:
             return sep, 0
-        res_cb = (blk_cb - pred_cb).astype(np.int64)
-        res_cr = (blk_cr - pred_cr).astype(np.int64)
+        if lmcs_scale is None:
+            res_cb = (blk_cb - pred_cb).astype(np.int64)
+            res_cr = (blk_cr - pred_cr).astype(np.int64)
+        else:
+            # forward scaling precedes the joint (ICT) derivation;
+            # the decoder inversely scales each derived component
+            res_cb = lmcs_ops.scale_fwd(
+                (blk_cb - pred_cb).astype(np.int32), lmcs_scale,
+                bd).astype(np.int64)
+            res_cr = lmcs_ops.scale_fwd(
+                (blk_cr - pred_cr).astype(np.int32), lmcs_scale,
+                bd).astype(np.int64)
         best = (proxy(sep, 1 if (sep[0][2] or sep[1][2]) else 0), sep, 0)
         clip_hi = (1 << bd) - 1
         irap = self.slice_type == hls.I_SLICE
@@ -1241,6 +1309,9 @@ class FrameEncoder:
                 rcb, rcr = r, r >> 1
             else:
                 rcb, rcr = r >> 1, r
+            if lmcs_scale is not None:
+                rcb = lmcs_ops.scale_inv(rcb, lmcs_scale, bd)
+                rcr = lmcs_ops.scale_inv(rcr, lmcs_scale, bd)
             rec_cb = np.clip(pred_cb + rcb, 0, clip_hi).astype(np.int32)
             rec_cr = np.clip(pred_cr + rcr, 0, clip_hi).astype(np.int32)
             ssd_cb = float(((blk_cb - rec_cb).astype(np.int64) ** 2)
@@ -1270,7 +1341,9 @@ class FrameEncoder:
                                        chroma=True))
             blks.append(plane_o[yc:yc + hc, xc:xc + wc])
         return self._chroma_pair_eval(blks[0], preds[0], blks[1],
-                                      preds[1], intra_cu=True)
+                                      preds[1], intra_cu=True,
+                                      lmcs_scale=self._lmcs_scale_at(
+                                          x, y))
 
     def _cclm_avail(self, xc, yc, wc, hc):
         """CCLM template availability (xGetLumaRecPixels /
@@ -1336,9 +1409,8 @@ class FrameEncoder:
             a, b, sh = intra.cclm_params(sel_l, sel_c, bd)
             pred = intra.cclm_predict(inner, a, b, sh, bd)
             blk = plane_o[yc:yc + hc, xc:xc + wc]
-            q, recon, cbf = self._tq(blk, pred, self.qp_c_eff)
-            ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
-            outs.append((q, recon, cbf, ssd))
+            outs.append(self._tq_chroma(blk, pred,
+                                        self._lmcs_scale_at(x, y)))
         return outs
 
     def _best_chroma_intra(self, x, y, w, h, luma_mode):
@@ -1486,6 +1558,58 @@ class FrameEncoder:
             mi.mv1, bd)
         return inter.bcw_avg(a, b, mi.bcw, bd)
 
+    # ------------------------------------------------------------------
+    # LMCS helpers (Reshape.cpp parity; see ops/lmcs.py)
+
+    def _map_luma_pred(self, pred):
+        """Forward-map an inter luma prediction into the reshaped
+        domain (DecCu::xReconInter rspSignal(fwdLUT); CIIP maps the
+        inter part BEFORE blending, GEO after blending)."""
+        if self.lmcs is None:
+            return pred
+        return self.lmcs.fwd_lut[pred]
+
+    def _lmcs_scale_at(self, lx, ly):
+        """Chroma residual scale for a TU whose luma area starts at
+        (lx, ly), or None (Reshape::calculateChromaAdjVpduNei,
+        Reshape.cpp:106): average of the mapped-domain luma recon in
+        the row above / column left of the CU containing the VPDU
+        corner."""
+        if self.lmcs is None or not self.chroma:
+            return None
+        ctu = self.cfg.ctu_size
+        nn = min(64, ctu)
+        align = 64 if ctu == 128 else ctu
+        vx, vy = lx // align * align, ly // align * align
+        p = self.maps._at(vx, vy)
+        if p is not None:
+            cx0, cy0 = int(self.maps.cu_x0[p]), int(self.maps.cu_y0[p])
+        else:
+            # corner not yet coded -> it lies inside the CU currently
+            # being evaluated
+            cx0, cy0 = self.cur_cu_origin
+        left_ok = self._nb_pos(cx0 - 1, cy0) is not None
+        above_ok = self._nb_pos(cx0, cy0 - 1) is not None
+        H, W = self.org.shape
+        nnlog = nn.bit_length() - 1
+        rec = 0
+        pelnum = 0
+        if left_ok:
+            rows = np.minimum(cy0 + np.arange(nn), H - 1)
+            rec += int(self.recon[rows, cx0 - 1].sum())
+            pelnum += nn
+        if above_ok:
+            cols = np.minimum(cx0 + np.arange(nn), W - 1)
+            rec += int(self.recon[cy0 - 1, cols].sum())
+            pelnum += nn
+        if pelnum == nn:
+            avg = (rec + (1 << (nnlog - 1))) >> nnlog
+        elif pelnum == 2 * nn:
+            avg = (rec + (1 << nnlog)) >> (nnlog + 1)
+        else:
+            avg = 1 << (self.cfg.bit_depth - 1)
+        return self.lmcs.chroma_adj(avg)
+
     def _chroma_inter(self, x, y, w, h, mi, use_dmvr=False):
         """-> (outs, joint_cbcr_mask); inter CUs only test mask 3."""
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
@@ -1496,7 +1620,9 @@ class FrameEncoder:
                                                   use_dmvr=use_dmvr))
             blks.append(plane_o[yc:yc + hc, xc:xc + wc])
         return self._chroma_pair_eval(blks[0], preds[0], blks[1],
-                                      preds[1], intra_cu=False)
+                                      preds[1], intra_cu=False,
+                                      lmcs_scale=self._lmcs_scale_at(
+                                          x, y))
 
     def _commit_chroma(self, x, y, w, h, chroma_outs):
         xc, yc, wc, hc = x // 2, y // 2, w // 2, h // 2
@@ -1504,6 +1630,7 @@ class FrameEncoder:
         self.recon_cr[yc:yc + hc, xc:xc + wc] = chroma_outs[1][1]
 
     def _forced_inter_leaf(self, x, y, w, h, qt_depth, blk, mv):
+        self.cur_cu_origin = (x, y)
         """Commit one batched-search inter decision: merge when the MV
         matches a candidate (skip if zero residual), else L0/ref0 AMVP
         with exact mvp+mvd signalling."""
@@ -1555,6 +1682,7 @@ class FrameEncoder:
 
     # ------------------------------------------------------------------
     def _encode_leaf(self, x, y, w, h, qt_depth, forced_mode=None) -> float:
+        self.cur_cu_origin = (x, y)
         enc = self.enc
         is_inter_slice = self.slice_type != hls.I_SLICE
         blk = self.org[y:y + h, x:x + w]
@@ -2403,9 +2531,10 @@ class FrameEncoder:
         for (dx, dy, tw, th) in _tu_tiles(w, h):
             tx, ty = x + dx, y + dy
             use_dmvr = is_merge and self._dmvr_cond(tw, th, mi)
-            pred = self._motion_pred_luma(tx, ty, tw, th, mi,
-                                          allow_bdof=allow_bdof,
-                                          use_dmvr=use_dmvr)
+            pred = self._map_luma_pred(
+                self._motion_pred_luma(tx, ty, tw, th, mi,
+                                       allow_bdof=allow_bdof,
+                                       use_dmvr=use_dmvr))
             tblk = self.org[ty:ty + th, tx:tx + tw]
             q, recon, cbf = self._tq(tblk, pred, self.qp_eff)
             ssd += float(((tblk - recon).astype(np.int64) ** 2).sum())
@@ -2697,11 +2826,11 @@ class FrameEncoder:
         keeps TU dims >= 8 so all deblocking edges stay on the 8-grid."""
         mi = base_trial["mi"]
         bd = self.cfg.bit_depth
-        pred = self._motion_pred_luma(
+        pred = self._map_luma_pred(self._motion_pred_luma(
             x, y, w, h, mi,
             allow_bdof="smvd" not in base_trial.get("sig", {}),
             use_dmvr=base_trial.get("m_idx") is not None
-            and self._dmvr_cond(w, h, mi))
+            and self._dmvr_cond(w, h, mi)))
         res = (blk - pred).astype(np.int64)
         energy = res * res
         cands = []
@@ -2757,7 +2886,8 @@ class FrameEncoder:
                 ch, jmask = self._chroma_pair_eval(
                     self.org_cb[yc:yc + hc, xc:xc + wc], pcb,
                     self.org_cr[yc:yc + hc, xc:xc + wc], pcr,
-                    intra_cu=False)
+                    intra_cu=False,
+                    lmcs_scale=self._lmcs_scale_at(tx, ty))
                 active["chroma"] = ch
                 active["joint_cbcr"] = jmask
             any_cbf = cbf or (active["chroma"] is not None
@@ -2868,8 +2998,11 @@ class FrameEncoder:
                 return inter.mc_luma_intermediate(
                     self.refs_l1[mi.ref1][1], x, y, w, h, mi.mv1, bd)
 
-            pred = geo_ops.blend(uni_inter(mi0), uni_inter(mi1),
-                                 geo_ops.weight_mask(d, w, h), bd)
+            # LMCS maps the blended GEO prediction (xReconInter maps
+            # after motionCompensationGeo)
+            pred = self._map_luma_pred(
+                geo_ops.blend(uni_inter(mi0), uni_inter(mi1),
+                              geo_ops.weight_mask(d, w, h), bd))
             q, recon, cbf = self._tq(blk, pred, self.qp_eff)
             ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
             tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
@@ -2894,7 +3027,8 @@ class FrameEncoder:
                 ch, jmask = self._chroma_pair_eval(
                     self.org_cb[yc:yc + hc, xc:xc + wc], pcb,
                     self.org_cr[yc:yc + hc, xc:xc + wc], pcr,
-                    intra_cu=False)
+                    intra_cu=False,
+                    lmcs_scale=self._lmcs_scale_at(x, y))
                 tu["chroma"] = ch
                 tu["joint_cbcr"] = jmask
                 ssd += ch[0][3] + ch[1][3]
@@ -2930,7 +3064,10 @@ class FrameEncoder:
             w_intra = 1
         w_merge = 4 - w_intra
 
-        inter_p = self._motion_pred_luma(x, y, w, h, mi)
+        # LMCS: the inter part is forward-mapped BEFORE the blend
+        # (DecCu::xReconInter rspSignal precedes geneWeightedPred)
+        inter_p = self._map_luma_pred(
+            self._motion_pred_luma(x, y, w, h, mi))
         top, left = intra.build_refs_grid(self.recon, x, y, w, h, bd,
                                           self.maps.coded, xmax=self.wpp_xmax)
         intra_p = intra.predict(0, top, left, w, h, bd)
@@ -2952,12 +3089,10 @@ class FrameEncoder:
                                    chroma=True)
                 cpred = (w_merge * ip.astype(np.int64)
                          + w_intra * ap.astype(np.int64) + 2) >> 2
-                cq, crec, ccbf = self._tq(plane_o[yc:yc + hc, xc:xc + wc],
-                                          cpred.astype(np.int32),
-                                          self.qp_c_eff)
-                cssd = float(((plane_o[yc:yc + hc, xc:xc + wc] - crec)
-                              .astype(np.int64) ** 2).sum())
-                outs.append((cq, crec, ccbf, cssd))
+                outs.append(self._tq_chroma(
+                    plane_o[yc:yc + hc, xc:xc + wc],
+                    cpred.astype(np.int32),
+                    self._lmcs_scale_at(x, y)))
             tu["chroma"] = outs
             ssd += outs[0][3] + outs[1][3]
         any_cbf = cbf or (tu["chroma"] is not None
@@ -3034,7 +3169,8 @@ class FrameEncoder:
                                 tx // 2:(tx + tw) // 2], pcb[csl],
                     self.org_cr[ty // 2:(ty + th) // 2,
                                 tx // 2:(tx + tw) // 2], pcr[csl],
-                    intra_cu=False)
+                    intra_cu=False,
+                    lmcs_scale=self._lmcs_scale_at(tx, ty))
                 tu["chroma"] = ch
                 tu["joint_cbcr"] = jmask
                 ssd += ch[0][3] + ch[1][3]
@@ -3067,6 +3203,7 @@ class FrameEncoder:
                             = self._motion_pred_chroma(
                                 sx // 2, sy // 2, sub_w // 2,
                                 sub_h // 2, mi, pi)
+        pred = self._map_luma_pred(pred)
         tus, ssd, is_skip = self._pred_trial_tus(x, y, w, h, pred,
                                                  pcb, pcr)
         return {"mi": ctr_mi, "m_idx": sub_merge_idx, "tus": tus,
@@ -3348,7 +3485,7 @@ class FrameEncoder:
                 cr1 = affine_ops.mc_chroma(r1[3], x, y, w, h, grids[1],
                                            True, bd, W, H, ctu)
                 pcr = inter.bcw_avg(cr0, cr1, cand["bcw"], bd)
-        return pred, pcb, pcr, grids
+        return self._map_luma_pred(pred), pcb, pcr, grids
 
     def _affine_mi(self, cand, grids):
         """CU-level MotionInfo stand-in (first subblock's MVs)."""

@@ -32,6 +32,7 @@ NAL_CRA = 9
 NAL_VPS = 14
 NAL_SPS = 15
 NAL_PPS = 16
+NAL_PREFIX_APS = 17
 NAL_PH = 19
 NAL_SUFFIX_SEI = 24
 
@@ -405,8 +406,13 @@ def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
     w.write_uvlc(0)                     # ph_pic_parameter_set_id
     w.write(pic.poc & ((1 << cfg.log2_max_poc_lsb) - 1),
             cfg.log2_max_poc_lsb)       # ph_pic_order_cnt_lsb
-    # ALF off, LMCS off, scaling lists off, virtual boundaries off,
+    # ALF info in SH; scaling lists off, virtual boundaries off,
     # output flag not present, rpl not in ph (no_pic_partition)
+    if cfg.lmcs:
+        w.write_flag(1)                 # ph_lmcs_enabled_flag
+        w.write(0, 2)                   # ph_lmcs_aps_id
+        if cfg.chroma_enabled:
+            w.write_flag(1)             # ph_chroma_residual_scale_flag
     if intra_only:
         if cfg.cu_qp_delta:
             w.write_uvlc(0)             # ph_cu_qp_delta_subdiv_intra_slice
@@ -549,10 +555,42 @@ def sei_picture_hash_nal(recon_y, recon_cb=None, recon_cr=None,
                     temporal_id=temporal_id)
 
 
-def bitstream_for_frames(cfg: SeqConfig, frames: list) -> bytes:
-    """frames: list of (PicConfig, cabac_payload, tail_bits)."""
+def write_aps_lmcs(cfg: SeqConfig, model) -> bytes:
+    """APS RBSP carrying the LMCS data (codeAPS + codeLmcsAps,
+    VLCWriter.cpp:487,613). model: ops.lmcs.LmcsModel."""
+    w = BitWriter()
+    w.write(1, 3)                       # aps_params_type = LMCS_APS
+    w.write(0, 5)                       # adaptation_parameter_set_id
+    chroma = 1 if cfg.chroma_enabled else 0
+    w.write_flag(chroma)                # aps_chroma_present_flag
+    min_bin, delta_max, prec_m1, deltas, crs = model.aps_fields()
+    w.write_uvlc(min_bin)               # lmcs_min_bin_idx
+    w.write_uvlc(delta_max)             # lmcs_delta_max_bin_idx
+    w.write_uvlc(prec_m1)               # lmcs_delta_cw_prec_minus1
+    for d in deltas:
+        w.write(abs(d), prec_m1 + 1)    # lmcs_delta_abs_cw[i]
+        if abs(d) > 0:
+            w.write_flag(1 if d < 0 else 0)  # lmcs_delta_sign_cw_flag
+    if chroma:
+        w.write(abs(crs), 3)            # lmcs_delta_abs_crs
+        if abs(crs) > 0:
+            w.write_flag(1 if crs < 0 else 0)  # lmcs_delta_sign_crs
+    w.write_flag(0)                     # aps_extension_flag
+    w.write_byte_alignment()            # rbsp_trailing_bits
+    return w.get_bytes()
+
+
+def bitstream_for_frames(cfg: SeqConfig, frames: list,
+                         extra_nals=()) -> bytes:
+    """frames: list of (PicConfig, cabac_payload, tail_bits).
+    extra_nals: (nal_type, rbsp) pairs emitted after the PPS (APS) —
+    stamped with the AU's TemporalId (an APS NAL's tid must be >= the
+    containing AU's tid, spec 7.4.2.2)."""
+    au_tid = frames[0][0].temporal_id if frames else 0
     nals = [nal_unit(write_sps(cfg), NAL_SPS),
             nal_unit(write_pps(cfg), NAL_PPS)]
+    for (t, rbsp) in extra_nals:
+        nals.append(nal_unit(rbsp, t, temporal_id=au_tid))
     for pic, payload, tail in frames:
         nals.append(slice_nal(cfg, pic, payload, tail))
     return annexb(nals)
