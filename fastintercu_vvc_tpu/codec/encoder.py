@@ -33,7 +33,29 @@ from ..ops import intra, inter, mip as mip_ops, geo as geo_ops, \
     affine as affine_ops, transforms_np as tnp
 from ..utils import trace
 from .. import native
-from . import cabac, contexts, ctx_ids, hls, partition, residual
+from . import bitest, cabac, contexts, ctx_ids, hls, partition, residual
+
+
+@functools.lru_cache(maxsize=None)
+def _had_np(n: int) -> np.ndarray:
+    if n == 1:
+        return np.asarray([[1]], np.int64)
+    h = _had_np(n // 2)
+    return np.block([[h, h], [h, -h]]).astype(np.int64)
+
+
+def _satd_np(a: np.ndarray, b: np.ndarray) -> int:
+    """Host SATD (RdCost::xGetHADs parity): 8x8 Hadamard sub-blocks
+    when both dims allow, else 4x4."""
+    d = a.astype(np.int64) - b.astype(np.int64)
+    H, W = d.shape
+    n = 8 if (H % 8 == 0 and W % 8 == 0) else 4
+    hn = _had_np(n)
+    d = d.reshape(H // n, n, W // n, n).swapaxes(1, 2)
+    t = np.abs(hn @ d @ hn).sum(axis=(-2, -1))
+    if n == 8:
+        return int(((t + 2) >> 2).sum())
+    return int(((t + 1) >> 1).sum())
 
 
 @dataclasses.dataclass
@@ -558,6 +580,8 @@ class FrameEncoder:
                      hls.P_SLICE: contexts.P_SLICE,
                      hls.B_SLICE: contexts.B_SLICE}[slice_type]
         bank = contexts.init_bank(ctx_slice, qp)
+        # rate-model table for decision-path local RD screens
+        self._fb = bitest.bank_frac(bank)
         # decisions-driven commit is rollback-free: record the bin-op
         # stream and execute it on the native C engine (bit-identical
         # to the Python engine; ~150x faster). RD search needs
@@ -963,26 +987,52 @@ class FrameEncoder:
                                         ibt)
 
         if self.decisions is not None:
-            do_split = self.decisions.split.get((x, y, w), False) and can_qt
-            if not can_no and not do_split:
-                # picture-border block: an implicit split is mandatory
-                do_split = True
-            if do_split:
-                chosen = partition.QT_SPLIT if can_qt else impl
+            node_split = getattr(self.decisions, "node_split", None)
+            if node_split is not None:
+                # fused QT+BT search decisions (codec/fused_search)
+                chosen = node_split(x, y, w, h)
+                legal = {partition.NO_SPLIT: can_no,
+                         partition.QT_SPLIT: can_qt,
+                         partition.BT_H: can_bh, partition.BT_V: can_bv,
+                         partition.TT_H: can_th, partition.TT_V: can_tv}
+                if chosen is None or not legal.get(chosen, False):
+                    # unseen/illegal node (picture border, padded-grid
+                    # geometry): implicit split, else leaf, else QT
+                    if impl != partition.NO_SPLIT:
+                        chosen = impl
+                    elif can_no:
+                        chosen = partition.NO_SPLIT
+                    else:
+                        chosen = partition.QT_SPLIT if can_qt else \
+                            next(sp for sp, ok in legal.items() if ok)
             else:
-                chosen = partition.NO_SPLIT
+                do_split = (self.decisions.split.get((x, y, w), False)
+                            and can_qt)
+                if not can_no and not do_split:
+                    # picture-border block: implicit split is mandatory
+                    do_split = True
+                if do_split:
+                    chosen = partition.QT_SPLIT if can_qt else impl
+                else:
+                    chosen = partition.NO_SPLIT
             partition.write_split_mode(enc, chosen, cans, ctxs)
-            if do_split:
+            if chosen != partition.NO_SPLIT:
                 nibt = ibt + (1 if chosen in (partition.BT_H,
-                                              partition.BT_V) else 0)
+                                              partition.BT_V)
+                              and chosen == impl else 0)
                 nqt = qt_depth + (chosen == partition.QT_SPLIT)
                 nmt = mtt_depth + (chosen != partition.QT_SPLIT)
-                for (cx, cy, cw, ch) in partition.split_children(
-                        x, y, w, h, chosen):
+                for i, (cx, cy, cw, ch) in enumerate(
+                        partition.split_children(x, y, w, h, chosen)):
                     if cx >= pic_w or cy >= pic_h:
                         continue
+                    tmid = None
+                    if chosen in (partition.TT_H, partition.TT_V) \
+                            and i == 1:
+                        tmid = partition.BT_H \
+                            if chosen == partition.TT_H else partition.BT_V
                     self._compress_cu(cx, cy, cw, ch, nqt, nmt, chosen,
-                                      None, nibt)
+                                      tmid, nibt)
             else:
                 # lookup_mode resolves implicit-border leaf geometry
                 # (BT children) against the covering search-level grid
@@ -1629,28 +1679,72 @@ class FrameEncoder:
         self.recon_cb[yc:yc + hc, xc:xc + wc] = chroma_outs[0][1]
         self.recon_cr[yc:yc + hc, xc:xc + wc] = chroma_outs[1][1]
 
-    def _forced_inter_leaf(self, x, y, w, h, qt_depth, blk, mv):
+    def _forced_inter_leaf(self, x, y, w, h, qt_depth, blk, spec):
+        """Commit one batched-search inter decision with a local RD
+        screen: all merge candidates (MC-SATD + estimated merge-idx
+        rate) compete against an AMVP trial at the hinted MV after
+        half/quarter-pel refinement; only the winner is transformed
+        and written. The fused search's integer-pel pick is a hint,
+        not a commitment (VTM's merge SATD prepass + fractional DIF,
+        EncCu.cpp:2435 / InterSearch.cpp:4283 analogues)."""
         self.cur_cu_origin = (x, y)
-        """Commit one batched-search inter decision: merge when the MV
-        matches a candidate (skip if zero residual), else L0/ref0 AMVP
-        with exact mvp+mvd signalling."""
-        mv = (inter.mv_round_to_quarter(mv[0]),
-              inter.mv_round_to_quarter(mv[1]))
+        if len(spec) == 2:
+            lst, ridx, mvx, mvy = 0, 0, spec[0], spec[1]
+        else:
+            lst, ridx, mvx, mvy = spec
+        refs = self.refs if lst == 0 else self.refs_l1
+        n_act = self.n_act0 if lst == 0 else self.n_act1
+        if not refs or ridx >= n_act:
+            lst, ridx = 0, 0
+            refs = self.refs
+        ref_plane = refs[ridx][1]
+        lam_satd = float(np.sqrt(self.lam))
+        fb = self._fb
+
+        # --- merge screen: MC-SATD of each candidate + estimated bits
         merge_cands = inter.get_merge_candidates(
             self._mf(), self.hmvp, x, y, w, h, self.n_act0,
             num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
-        m_idx = mi = None
-        for i, c in enumerate(merge_cands):
-            if c.inter_dir == 1 and c.ref0 == 0 and c.mv0 == mv:
-                m_idx, mi = i, c
-                break
-        if m_idx is not None:
-            trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
-            self._write_leaf_merge(x, y, w, h, trial)
-        else:
+        best_m = None            # (cost, m_idx, mi)
+        seen = set()
+        for m_idx, mi in enumerate(merge_cands):
+            key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
+            if key in seen or mi.ref0 >= len(self.refs) or \
+                    (mi.inter_dir & 2 and mi.ref1 >= len(self.refs_l1)):
+                continue
+            seen.add(key)
+            pred = self._map_luma_pred(
+                self._motion_pred_luma(x, y, w, h, mi))
+            c = _satd_np(blk, pred) + lam_satd * float(
+                bitest.merge_bits(fb, np.asarray([m_idx]))[0])
+            if best_m is None or c < best_m[0]:
+                best_m = (c, m_idx, mi)
+
+        # --- AMVP leg: refine the hinted integer MV (half, quarter)
+        mv = (inter.mv_round_to_quarter(mvx),
+              inter.mv_round_to_quarter(mvy))
+        amvp = None
+        if best_m is None or best_m[0] > 0:
+            def satd_at(cand):
+                pr = self._map_luma_pred(inter.mc_luma(
+                    ref_plane, x, y, w, h, cand, self.cfg.bit_depth))
+                return _satd_np(blk, pr)
+            best_s = satd_at(mv)
+            for step in (8, 4):      # half-pel then quarter-pel units
+                bmv, bs = mv, best_s
+                for (ox, oy) in ((-step, 0), (step, 0), (0, -step),
+                                 (0, step), (-step, -step),
+                                 (step, step), (-step, step),
+                                 (step, -step)):
+                    cand = (mv[0] + ox, mv[1] + oy)
+                    s = satd_at(cand)
+                    if s < bs:
+                        bmv, bs = cand, s
+                mv, best_s = bmv, bs
             mvps = inter.fill_mvp_cands(
-                self._mf(), self.hmvp, x, y, w, h, self.ref_pocs, 0,
-                target_list=0, ref_poc_list1=self.ref_pocs_l1,
+                self._mf(), self.hmvp, x, y, w, h,
+                self.ref_pocs if lst == 0 else self.ref_pocs_l1, ridx,
+                target_list=lst, ref_poc_list1=self.ref_pocs_l1,
                 tmvp=self.tmvp_ctx)
 
             def mvd_q(p):
@@ -1661,10 +1755,24 @@ class FrameEncoder:
             mvd = mvd_q(mvps[mvp_idx])
             mv = (mvps[mvp_idx][0] + (mvd[0] << 2),
                   mvps[mvp_idx][1] + (mvd[1] << 2))
-            mi = inter.MotionInfo(1, mv, (0, 0), 0, -1)
+            bits = float(bitest.mvd_bits(np.asarray([mvd[0]]),
+                                         np.asarray([mvd[1]]), fb)[0]) \
+                + 3.0            # merge_flag/mvp/ref overhead
+            amvp = (best_s + lam_satd * bits, mvp_idx, mvd, mv)
+
+        if amvp is not None and (best_m is None or amvp[0] < best_m[0]):
+            _, mvp_idx, mvd, mv = amvp
+            if lst == 0:
+                mi = inter.MotionInfo(1, mv, (0, 0), ridx, -1)
+            else:
+                mi = inter.MotionInfo(2, (0, 0), mv, -1, ridx)
             trial = self._finish_inter_trial(x, y, w, h, blk, mi,
-                                             {0: (mvp_idx, mvd, 0)})
+                                             {lst: (mvp_idx, mvd, ridx)})
             self._write_leaf_inter(x, y, w, h, trial)
+        else:
+            _, m_idx, mi = best_m
+            trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
+            self._write_leaf_merge(x, y, w, h, trial)
         mi = trial["mi"]
         self._commit_trial_recon(trial)
         rp0 = self.ref_pocs[mi.ref0] if mi.ref0 >= 0 else -1

@@ -1,0 +1,510 @@
+"""Fused whole-frame QT+BT batched partition/mode search.
+
+The reference prunes a depth-first recursive RDO (EncCu::xCompressCU,
+EncCu.cpp:541) with a per-CTU CNN (EncModeCtrl::setNewModeList,
+EncModeCtrl.cpp:110-149). Here the ENTIRE QT+BT tree of the frame is
+evaluated as batched tensor work (SURVEY.md §7.1 "batch, don't
+recurse"):
+
+  1. leaf costs for every block geometry class (w, h) reachable by
+     QT + BT splits: batched 67-mode intra SATD and, for P/B slices,
+     integer full-search ME built from ONE per-8x8-block SAD map per
+     reference (larger geometries aggregate 8x8 SADs — no re-search);
+  2. rate from the CABAC bit estimator (codec/bitest): split_cu_mode
+     bits per geometry/depth from the real context tables, vectorized
+     mvd bits vs a causal neighbor predictor, intra/merge mode costs —
+     replacing the hand-tuned constants of the QT-only search;
+  3. a bottom-up dynamic program over (geometry, BT-depth budget)
+     chooses NO/BT_H/BT_V per node and NO/QT at square QT nodes;
+  4. the host walk emits exact per-node split decisions + leaf modes
+     for the decisions-driven commit pass (codec/encoder).
+
+The MLT-CNN hint contract now carries the reference's FULL class
+semantics at the CTU root: {0: no-split, 1: QT, 2: BT_H, 3: BT_V},
+with QT fallback when the hinted split is illegal
+(EncModeCtrl.cpp:122-138).
+
+TT splits are not batched (their children are quarter-offset, off the
+(w, h)-aligned grids this search tiles); the sequential exhaustive
+path (encoder._compress_cu) remains the TT-capable reference search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import intra_batch, rdcost
+from . import bitest, contexts, ctx_ids, hls, partition
+
+NO, QT, BH, BV = (partition.NO_SPLIT, partition.QT_SPLIT,
+                  partition.BT_H, partition.BT_V)
+
+
+@dataclasses.dataclass
+class FusedDecisions:
+    """Per-node split + per-leaf mode decisions from the fused search.
+
+    split: (x, y, w, h) -> partition split const (NO/QT/BT_H/BT_V)
+    mode:  (x, y, w, h) -> intra mode int
+           | ("inter", (lst, ridx, mvx_int, mvy_int))  internal 1/16 MV
+    level: square-grid fallback for implicit-border leaf geometry the
+           walk never keyed (same contract as SearchDecisions.level).
+    """
+    split: dict
+    mode: dict
+    level: dict = dataclasses.field(default_factory=dict)
+
+    def node_split(self, x, y, w, h):
+        return self.split.get((x, y, w, h))
+
+    def lookup_mode(self, x, y, w, h):
+        exact = self.mode.get((x, y, w, h))
+        if exact is not None:
+            return exact
+        if not self.level:
+            return None
+        sizes = sorted(self.level)
+        s = min(w, h)
+        s = max(sizes[0], min(sizes[-1], s))
+        while s not in self.level:
+            s //= 2
+        lv = self.level[s]
+        by, bx = y // s, x // s
+        nby, nbx = lv["imode"].shape
+        by, bx = min(by, nby - 1), min(bx, nbx - 1)
+        if "inter" in lv and lv["inter"][by, bx]:
+            return ("inter", (int(lv["lst"][by, bx]), 0,
+                              int(lv["mvx"][by, bx]),
+                              int(lv["mvy"][by, bx])))
+        return int(lv["imode"][by, bx])
+
+
+# ---------------------------------------------------------------------------
+# geometry enumeration
+
+
+def _pc_for(cfg: hls.SeqConfig, slice_type: int):
+    if slice_type == hls.I_SLICE:
+        return partition.PartitionConstraints(
+            ctu_size=cfg.ctu_size, min_cu=1 << cfg.log2_min_cu,
+            min_qt=cfg.min_qt_intra,
+            max_mtt_depth=cfg.max_mtt_depth_intra,
+            max_bt_size=cfg.max_bt_intra, max_tt_size=cfg.max_tt_intra,
+            max_tb_size=1 << cfg.log2_max_tb)
+    return partition.PartitionConstraints(
+        ctu_size=cfg.ctu_size, min_cu=1 << cfg.log2_min_cu,
+        min_qt=cfg.min_qt_inter,
+        max_mtt_depth=cfg.max_mtt_depth_inter,
+        max_bt_size=cfg.max_bt_inter, max_tt_size=cfg.max_tt_inter,
+        max_tb_size=1 << cfg.log2_max_tb)
+
+
+def _geometries(pc, cs, min_qt, D, min_dim=8):
+    """All (w, h) classes reachable by QT (to min_qt) then <= D BT
+    splits, children kept on their own aligned grid (BT-only subtrees
+    guarantee x % w == 0, y % h == 0)."""
+    squares = []
+    s = cs
+    while s >= min_qt:
+        squares.append(s)
+        s //= 2
+    geoms = set((s, s) for s in squares)
+    for s in squares:
+        frontier = {(s, s)}
+        for d in range(D):
+            nxt = set()
+            for (w, h) in frontier:
+                cans = partition.can_split(
+                    w, h, 0, d, pc,
+                    last_split=QT if d == 0 else BH)
+                if cans[2] and h // 2 >= min_dim:
+                    nxt.add((w, h // 2))
+                if cans[3] and w // 2 >= min_dim:
+                    nxt.add((w // 2, h))
+            geoms |= nxt
+            frontier = nxt
+    return squares, sorted(geoms, key=lambda g: (-g[0] * g[1], g))
+
+
+# ---------------------------------------------------------------------------
+# device kernels (all shapes static; per-class outputs packed into two
+# flat vectors so one encode dispatch costs two downloads, not dozens)
+
+
+def _device_refs(plane, w, h):
+    """top[N, 2w+1] / left[N, 2h+1] org-sample references for every
+    (w x h)-aligned block (corner first; borders replicate — the commit
+    pass redoes exact reference substitution)."""
+    H, W = plane.shape
+    pad = jnp.pad(plane, ((1, 2 * h), (1, 2 * w)), mode="edge")
+    nby, nbx = H // h, W // w
+    by = (jnp.arange(nby) * h)[:, None, None]
+    bx = (jnp.arange(nbx) * w)[None, :, None]
+    rt = jnp.arange(2 * w + 1)
+    rl = jnp.arange(2 * h + 1)
+    tops = pad[by, bx + rt[None, None, :]].reshape(-1, 2 * w + 1)
+    lefts = pad[by + rl[None, None, :], bx].reshape(-1, 2 * h + 1)
+    return tops, lefts
+
+
+def _device_blocks(plane, w, h):
+    H, W = plane.shape
+    return (plane.reshape(H // h, h, W // w, w)
+            .swapaxes(1, 2).reshape(-1, h, w))
+
+
+def _satd_nd(a, b, w, h):
+    if w >= 8 and h >= 8:
+        return rdcost.satd(a, b)
+    return rdcost.satd4(a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _intra_leaf_device(plane, classes):
+    """Packed per-class best intra (mode, satd) over all 67 modes.
+    -> (int32 vector [sum N per class x 1], float32 vector)."""
+    idx_parts, cost_parts = [], []
+    for (w, h) in classes:
+        tops, lefts = _device_refs(plane, w, h)
+        blocks = _device_blocks(plane, w, h)
+        preds = intra_batch.predict_all_modes(tops, lefts, w, h)
+        c = _satd_nd(preds, blocks[None], w, h)          # [67, N]
+        idx_parts.append(jnp.argmin(c, axis=0).astype(jnp.int32))
+        cost_parts.append(jnp.min(c, axis=0).astype(jnp.float32))
+    return jnp.concatenate(idx_parts), jnp.concatenate(cost_parts)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sad8_map(org, ref, sr):
+    """[K, nby8, nbx8] int32: SAD of every 8x8 block at every integer
+    displacement in [-sr, sr]^2 (K = (2sr+1)^2, row-major dy then dx).
+    Larger geometries aggregate these — one search feeds all classes."""
+    H, W = org.shape
+    pad = jnp.pad(ref, sr, mode="edge")
+    offs = jnp.arange(-sr, sr + 1)
+    dyx = jnp.stack(jnp.meshgrid(offs, offs, indexing="ij"),
+                    -1).reshape(-1, 2)
+
+    def sad_of(off):
+        win = jax.lax.dynamic_slice(pad, (sr + off[0], sr + off[1]),
+                                    (H, W))
+        d = jnp.abs(org.astype(jnp.int32) - win.astype(jnp.int32))
+        return d.reshape(H // 8, 8, W // 8, 8).sum(axis=(1, 3))
+
+    return jax.lax.map(sad_of, dyx)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _inter_leaf_device(org, sad8, padrefs, classes, sr):
+    """Packed per-class inter leg over R references.
+
+    sad8: [R, K, nby8, nbx8] from _sad8_map per reference.
+    padrefs: [R, H+2sr, W+2sr].
+    For each class: aggregate 8x8 SADs into (w, h) tiles, argmin over
+    (ref, displacement), then SATD of the chosen integer-pel MC.
+    -> int32 vector (per class: ref_sel N, disp_idx N),
+       float32 vector (per class: mc_satd N).
+    """
+    H, W = org.shape
+    side = 2 * sr + 1
+    idx_parts, cost_parts = [], []
+    for (w, h) in classes:
+        fh, fw = h // 8, w // 8
+        nby, nbx = H // h, W // w
+        agg = sad8.reshape(sad8.shape[0], sad8.shape[1],
+                           nby, fh, nbx, fw).sum(axis=(3, 5))
+        agg = agg.reshape(-1, nby, nbx)                  # [R*K, nby, nbx]
+        flat_best = jnp.argmin(agg, axis=0)
+        K = sad8.shape[1]
+        ref_sel = (flat_best // K).astype(jnp.int32)
+        disp = (flat_best % K).astype(jnp.int32)
+        dy = disp // side - sr
+        dx = disp % side - sr
+        # integer-pel MC gather from the selected reference
+        ys = (jnp.arange(nby) * h)[:, None, None, None]
+        xs = (jnp.arange(nbx) * w)[None, :, None, None]
+        ii = jnp.arange(h)[None, None, :, None]
+        jj = jnp.arange(w)[None, None, None, :]
+        rows = ys + dy[:, :, None, None] + sr + ii
+        cols = xs + dx[:, :, None, None] + sr + jj
+        pred = padrefs[ref_sel[:, :, None, None], rows, cols]
+        blocks = org.reshape(nby, h, nbx, w).swapaxes(1, 2)
+        msatd = _satd_nd(blocks, pred, w, h)             # [nby, nbx]
+        idx_parts.append(ref_sel.reshape(-1))
+        idx_parts.append(disp.reshape(-1))
+        cost_parts.append(msatd.reshape(-1).astype(jnp.float32))
+    return jnp.concatenate(idx_parts), jnp.concatenate(cost_parts)
+
+
+# ---------------------------------------------------------------------------
+# host: leaf costs -> DP -> decision walk
+
+
+def _pad_to_ctu(plane: np.ndarray, cs: int) -> np.ndarray:
+    H, W = plane.shape
+    ph, pw = -H % cs, -W % cs
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _mv_rate(dy, dx, fb):
+    """mvd bits vs a causal left-neighbor predictor (col 0 predicts
+    zero), vectorized per class grid. Quarter-pel units from int-pel."""
+    pdx = np.concatenate([np.zeros_like(dx[:, :1]), dx[:, :-1]], axis=1)
+    pdy = np.concatenate([np.zeros_like(dy[:, :1]), dy[:, :-1]], axis=1)
+    return bitest.mvd_bits((dx - pdx) * 4, (dy - pdy) * 4, fb)
+
+
+def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
+                 slice_type: int = hls.I_SLICE,
+                 ref_planes=(),
+                 split_hints: np.ndarray | None = None,
+                 me_range: int = 16, max_bt_depth: int = 2
+                 ) -> FusedDecisions:
+    """Whole-frame fused QT+BT search.
+
+    ref_planes: [(lst, ridx, plane)] reconstructed reference planes to
+    search (typically L0/0 and L1/0; the commit leaf refines sub-pel
+    and RD-compares against merge candidates).
+    split_hints: per-CTU [nCtuY, nCtuX] int array, -1 = no hint, else
+    the MLT-CNN class {0: no-split, 1: QT, 2: BT_H, 3: BT_V}.
+    """
+    cs = cfg.ctu_size
+    org_p = _pad_to_ctu(np.asarray(org, np.int32), cs)
+    H, W = org_p.shape
+    pc = _pc_for(cfg, slice_type)
+    D = min(pc.max_mtt_depth, max_bt_depth)
+    min_qt = pc.min_qt
+    squares, geoms = _geometries(pc, cs, min_qt, D)
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    lam_satd = float(np.sqrt(lam))
+
+    ctx_slice = {hls.I_SLICE: contexts.I_SLICE,
+                 hls.P_SLICE: contexts.P_SLICE,
+                 hls.B_SLICE: contexts.B_SLICE}[slice_type]
+    bank = contexts.init_bank(ctx_slice, qp)
+    fb = bitest.bank_frac(bank)
+    srate = bitest.SplitRate(bank, pc)
+    intra_bits = bitest.intra_mode_bits(fb)
+    inter_slice = slice_type != hls.I_SLICE and ref_planes
+    scale = float(1 << bitest.SCALE_BITS)
+    if inter_slice:
+        # per-leaf signalling overhead beyond mvd: merge_flag=0,
+        # mvp flag, ref/inter_dir bins (approx from init states)
+        inter_over = (fb[ctx_ids.MergeFlag[0], 0]
+                      + fb[ctx_ids.MVPIdx[0], 0]) / scale + 1.0
+        pred_mode_i = fb[ctx_ids.PredMode[0], 1] / scale   # intra in P/B
+        pred_mode_p = fb[ctx_ids.PredMode[0], 0] / scale
+        skip0 = fb[ctx_ids.SkipFlag[0], 0] / scale
+        inter_over += skip0
+        intra_leaf_bits = intra_bits + pred_mode_i + skip0
+    else:
+        inter_over = 0.0
+        pred_mode_p = 0.0
+        intra_leaf_bits = intra_bits
+
+    classes = tuple(geoms)
+    jorg = jnp.asarray(org_p)
+
+    # ---- intra leg (all classes, one dispatch, two downloads)
+    iv, cv = _intra_leaf_device(jorg, classes)
+    iv = np.asarray(iv)
+    cv = np.asarray(cv)
+
+    leaf = {}
+    off = 0
+    for (w, h) in classes:
+        nby, nbx = H // h, W // w
+        n = nby * nbx
+        leaf[(w, h)] = {
+            "imode": iv[off:off + n].reshape(nby, nbx),
+            "icost": (cv[off:off + n].astype(np.float64)
+                      + lam_satd * intra_leaf_bits).reshape(nby, nbx),
+        }
+        off += n
+
+    # ---- inter leg (classes with both dims >= 8: the SAD base grid)
+    iclasses = tuple(g for g in classes if g[0] >= 8 and g[1] >= 8)
+    if inter_slice:
+        sr = int(me_range)
+        pads, s8 = [], []
+        for (_, _, plane) in ref_planes:
+            p = _pad_to_ctu(np.asarray(plane, np.int32), cs)
+            s8.append(_sad8_map(jorg, jnp.asarray(p), sr))
+            pads.append(jnp.pad(jnp.asarray(p), sr, mode="edge"))
+        sad8 = jnp.stack(s8)
+        padrefs = jnp.stack(pads)
+        ivi, cvi = _inter_leaf_device(jorg, sad8, padrefs, iclasses, sr)
+        ivi = np.asarray(ivi)
+        cvi = np.asarray(cvi)
+        side = 2 * sr + 1
+        ioff = coff = 0
+        for (w, h) in iclasses:
+            nby, nbx = H // h, W // w
+            n = nby * nbx
+            ref_sel = ivi[ioff:ioff + n].reshape(nby, nbx)
+            disp = ivi[ioff + n:ioff + 2 * n].reshape(nby, nbx)
+            ioff += 2 * n
+            msatd = cvi[coff:coff + n].reshape(nby, nbx) \
+                .astype(np.float64)
+            coff += n
+            dy = disp // side - sr
+            dx = disp % side - sr
+            mvbits = _mv_rate(dy, dx, fb)
+            lv = leaf[(w, h)]
+            pcost = msatd + lam_satd * (mvbits + inter_over
+                                        + pred_mode_p)
+            use_inter = pcost < lv["icost"]
+            lv["inter"] = use_inter
+            lv["cost"] = np.where(use_inter, pcost, lv["icost"])
+            lv["lst"] = np.array([ref_planes[r][0] for r in
+                                  range(len(ref_planes))],
+                                 np.int32)[ref_sel]
+            lv["ridx"] = np.array([ref_planes[r][1] for r in
+                                   range(len(ref_planes))],
+                                  np.int32)[ref_sel]
+            lv["mvx"] = dx * 16
+            lv["mvy"] = dy * 16
+        for (w, h) in classes:
+            if (w, h) not in iclasses:
+                leaf[(w, h)]["cost"] = leaf[(w, h)]["icost"]
+    else:
+        for lv in leaf.values():
+            lv["cost"] = lv["icost"]
+
+    # ---- DP over (geometry, BT depth budget)
+    # B[d][(w,h)]: best cost of a (w,h) area with d BT splits left;
+    # choice[d][(w,h)]: NO/BH/BV per grid node.
+    geoset = set(geoms)
+    B = [dict() for _ in range(D + 1)]
+    CH = [dict() for _ in range(D + 1)]
+
+    def node_rates(w, h, d):
+        mtt = D - d
+        last = QT if d == D else BH
+        qtd = max(0, (cs // max(w, h)).bit_length() - 1)
+        return srate.costs(w, h, qtd, mtt, last)
+
+    for d in range(D + 1):
+        for (w, h) in geoms:
+            rates = node_rates(w, h, d)
+            cost = leaf[(w, h)]["cost"] + lam_satd * rates.get(NO, 0.0)
+            choice = np.zeros(cost.shape, np.int8)
+            if d > 0:
+                if BH in rates and (w, h // 2) in geoset:
+                    ch = B[d - 1][(w, h // 2)]
+                    nby, nbx = cost.shape
+                    agg = (ch.reshape(nby, 2, nbx).sum(axis=1)
+                           + lam_satd * rates[BH])
+                    m = agg < cost
+                    choice = np.where(m, np.int8(BH), choice)
+                    cost = np.where(m, agg, cost)
+                if BV in rates and (w // 2, h) in geoset:
+                    ch = B[d - 1][(w // 2, h)]
+                    nby, nbx = cost.shape
+                    agg = (ch.reshape(nby, nbx, 2).sum(axis=2)
+                           + lam_satd * rates[BV])
+                    m = agg < cost
+                    choice = np.where(m, np.int8(BV), choice)
+                    cost = np.where(m, agg, cost)
+            B[d][(w, h)] = cost
+            CH[d][(w, h)] = choice
+
+    # QT levels: T[s] = min(BT-subtree at s, 4 x T[s/2] + qt rate)
+    T = {min_qt: B[D][(min_qt, min_qt)]}
+    QSPLIT = {}
+    for s in sorted(squares)[1:]:
+        child = T[s // 2]
+        nby, nbx = child.shape
+        rates = node_rates(s, s, D)
+        agg = (child.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
+               + lam_satd * rates.get(QT, 1.0))
+        leafbt = B[D][(s, s)]
+        QSPLIT[s] = (agg < leafbt) & (QT in rates)
+        T[s] = np.where(QSPLIT[s], agg, leafbt)
+
+    # ---- decision walk
+    dec_split: dict = {}
+    dec_mode: dict = {}
+
+    def record_leaf(x, y, w, h):
+        dec_split[(x, y, w, h)] = NO
+        lv = leaf[(w, h)]
+        by, bx = y // h, x // w
+        if inter_slice and lv.get("inter") is not None \
+                and lv["inter"][by, bx]:
+            dec_mode[(x, y, w, h)] = (
+                "inter", (int(lv["lst"][by, bx]),
+                          int(lv["ridx"][by, bx]),
+                          int(lv["mvx"][by, bx]),
+                          int(lv["mvy"][by, bx])))
+        else:
+            dec_mode[(x, y, w, h)] = int(lv["imode"][by, bx])
+
+    def walk_bt(x, y, w, h, d):
+        ch = int(CH[d][(w, h)][y // h, x // w]) if d > 0 else NO
+        if ch == BH:
+            dec_split[(x, y, w, h)] = BH
+            walk_bt(x, y, w, h // 2, d - 1)
+            walk_bt(x, y + h // 2, w, h // 2, d - 1)
+        elif ch == BV:
+            dec_split[(x, y, w, h)] = BV
+            walk_bt(x, y, w // 2, h, d - 1)
+            walk_bt(x + w // 2, y, w // 2, h, d - 1)
+        else:
+            record_leaf(x, y, w, h)
+
+    def walk_q(x, y, s, forced=None):
+        do_qt = bool(QSPLIT[s][y // s, x // s]) if s > min_qt else False
+        if forced is not None:
+            # MLT-CNN root hint, reference class semantics
+            # (EncModeCtrl.cpp:122-138: the requested split only, with
+            # QT as the fallback when it is illegal)
+            if forced == 0:
+                record_leaf(x, y, s, s)
+                return
+            if forced in (2, 3) and D > 0:
+                rates = node_rates(s, s, D)
+                want = BH if forced == 2 else BV
+                child = (s, s // 2) if want == BH else (s // 2, s)
+                if want in rates and child in geoset:
+                    dec_split[(x, y, s, s)] = want
+                    if want == BH:
+                        walk_bt(x, y, s, s // 2, D - 1)
+                        walk_bt(x, y + s // 2, s, s // 2, D - 1)
+                    else:
+                        walk_bt(x, y, s // 2, s, D - 1)
+                        walk_bt(x + s // 2, y, s // 2, s, D - 1)
+                    return
+            do_qt = s > min_qt         # forced == 1 or QT fallback
+        if do_qt:
+            dec_split[(x, y, s, s)] = QT
+            hs = s // 2
+            for (cx, cy) in ((x, y), (x + hs, y), (x, y + hs),
+                             (x + hs, y + hs)):
+                walk_q(cx, cy, hs)
+        else:
+            walk_bt(x, y, s, s, D)
+
+    for cy in range(H // cs):
+        for cx in range(W // cs):
+            forced = None
+            if split_hints is not None and split_hints[cy, cx] >= 0:
+                forced = int(split_hints[cy, cx])
+            walk_q(cx * cs, cy * cs, cs, forced)
+
+    level = {}
+    for s in squares:
+        lv = leaf[(s, s)]
+        ent = {"imode": lv["imode"]}
+        if inter_slice:
+            ent.update(inter=lv["inter"], lst=lv["lst"],
+                       mvx=lv["mvx"], mvy=lv["mvy"])
+        level[s] = ent
+    return FusedDecisions(dec_split, dec_mode, level)

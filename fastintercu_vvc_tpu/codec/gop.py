@@ -260,7 +260,13 @@ class RandomAccessEncoder:
     def __init__(self, cfg: hls.SeqConfig, gop_size: int = 4,
                  mctf: bool = False, hierarchical_qp: bool = False,
                  intra_period: int = 0, active_refs: int = 2,
-                 **enc_kwargs):
+                 search: str | None = None, search_bt_depth: int = 2,
+                 split_hints_fn=None, **enc_kwargs):
+        """search="fused": drive every frame from the batched
+        whole-frame QT+BT search (codec/fused_search) instead of the
+        sequential exhaustive RDO — the FastInterCU deployment shape.
+        split_hints_fn: (luma, l0_recon_or_None, poc, qp) -> per-CTU
+        MLT-CNN class hints consumed by the fused search."""
         assert gop_size & (gop_size - 1) == 0, "gop_size must be 2^n"
         assert cfg.num_reorder_pics >= max(
             1, gop_size.bit_length() - 1), \
@@ -271,7 +277,32 @@ class RandomAccessEncoder:
         self.hierarchical_qp = hierarchical_qp
         self.intra_period = intra_period
         self.active_refs = active_refs
+        self.search = search
+        self.search_bt_depth = search_bt_depth
+        self.split_hints_fn = split_hints_fn
+        self.search_me_range = enc_kwargs.get("me_range", 16)
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
+
+    def _decisions(self, frm, poc, qp, slice_type, l0=None, l1=None):
+        """Fused-search decisions for one frame (None = sequential)."""
+        if self.search != "fused":
+            return None
+        from . import fused_search
+        luma = frm[0] if isinstance(frm, (tuple, list)) else frm
+        ref_planes = []
+        if l0 is not None:
+            ref_planes.append((0, 0, l0.recon))
+        if l1 is not None:
+            ref_planes.append((1, 0, l1.recon))
+        hints = None
+        if self.split_hints_fn is not None:
+            hints = self.split_hints_fn(
+                luma, l0.recon if l0 is not None else None, poc, qp)
+        return fused_search.search_frame(
+            luma, self.cfg, qp, slice_type=slice_type,
+            ref_planes=ref_planes, split_hints=hints,
+            me_range=self.search_me_range,
+            max_bt_depth=self.search_bt_depth)
 
     def _gop_coding_order(self, lo: int, hi: int):
         """[(poc, l0_poc, l1_poc, tid)] for the open interval (lo, hi)."""
@@ -315,9 +346,10 @@ class RandomAccessEncoder:
             return ctc_qp_for(base_qp, tid, is_intra)
 
         # IDR
-        r = self.frame_encoder.encode_frame(frames[0], poc=0,
-                                            qp=pic_qp(0, True),
-                                            slice_type=hls.I_SLICE)
+        q0 = pic_qp(0, True)
+        r = self.frame_encoder.encode_frame(
+            frames[0], poc=0, qp=q0, slice_type=hls.I_SLICE,
+            decisions=self._decisions(frames[0], 0, q0, hls.I_SLICE))
         emit(0, r, "I")
 
         base = 0
@@ -333,15 +365,22 @@ class RandomAccessEncoder:
                 # refs are not used for prediction (I slice) but must
                 # appear in the CRA's RPL so the DPB keeps them for
                 # the RASL leading pictures
+                qa = pic_qp(0, True)
                 r = self.frame_encoder.encode_frame(
-                    frames[anchor], poc=anchor, qp=pic_qp(0, True),
+                    frames[anchor], poc=anchor, qp=qa,
                     slice_type=hls.I_SLICE, nal_type=hls.NAL_CRA,
-                    refs=[(base, done[base])])
+                    refs=[(base, done[base])],
+                    decisions=self._decisions(frames[anchor], anchor,
+                                              qa, hls.I_SLICE))
                 emit(anchor, r, "I")
             else:
+                qa = pic_qp(0)
                 r = self.frame_encoder.encode_frame(
-                    frames[anchor], poc=anchor, qp=pic_qp(0),
-                    slice_type=hls.P_SLICE, refs=[(base, done[base])])
+                    frames[anchor], poc=anchor, qp=qa,
+                    slice_type=hls.P_SLICE, refs=[(base, done[base])],
+                    decisions=self._decisions(frames[anchor], anchor,
+                                              qa, hls.P_SLICE,
+                                              l0=done[base]))
                 emit(anchor, r, "P")
             for i, (poc, l0, l1, tid) in enumerate(order):
                 # DPB retention: the RPL must list every picture still
@@ -361,14 +400,18 @@ class RandomAccessEncoder:
                                                            future, l0, l1)
                 refs_l0 = [(p2, done[p2]) for p2 in past]
                 refs_l1 = [(p2, done[p2]) for p2 in future]
+                qb = pic_qp(tid)
                 r = self.frame_encoder.encode_frame(
-                    frames[poc], poc=poc, qp=pic_qp(tid),
+                    frames[poc], poc=poc, qp=qb,
                     slice_type=hls.B_SLICE,
                     refs=refs_l0, refs_l1=refs_l1,
                     active_l0=min(self.active_refs, len(refs_l0)),
                     active_l1=min(self.active_refs, len(refs_l1)),
                     nal_type=hls.NAL_RASL if cra_gop else None,
-                    temporal_id=tid)
+                    temporal_id=tid,
+                    decisions=self._decisions(frames[poc], poc, qb,
+                                              hls.B_SLICE,
+                                              l0=done[l0], l1=done[l1]))
                 emit(poc, r, "B")
             base = anchor
 
