@@ -346,7 +346,14 @@ def _bs_chroma(info: DeblockInfo, xq, yq, hor):
 
 
 def _cu_coding_order(info: DeblockInfo, x, y, w, h, out):
-    """Reconstruct z-order CU traversal from the CU maps."""
+    """Reconstruct z-order CU traversal from the CU maps.
+
+    Border CTUs extend past the picture (implicit splits confine real
+    CUs to the in-picture part): grid lookups clamp to the map and
+    fully-outside children are skipped."""
+    ngy, ngx = info.cu_x0.shape
+    if y // 4 >= ngy or x // 4 >= ngx:
+        return
     g = info.at(x, y)
     if (int(info.cu_x0[g]), int(info.cu_y0[g])) == (x, y) and \
             int(info.cu_w[g]) == w and int(info.cu_h[g]) == h:
@@ -356,8 +363,8 @@ def _cu_coding_order(info: DeblockInfo, x, y, w, h, out):
     # boundaries are not crossed by any CU
     def fits(children):
         for (cx, cy, cw, chh) in children:
-            for gy in range(cy // 4, (cy + chh) // 4):
-                for gx in range(cx // 4, (cx + cw) // 4):
+            for gy in range(cy // 4, min((cy + chh) // 4, ngy)):
+                for gx in range(cx // 4, min((cx + cw) // 4, ngx)):
                     x0, y0 = int(info.cu_x0[gy, gx]), int(info.cu_y0[gy, gx])
                     if not (cx <= x0 and cy <= y0):
                         return False

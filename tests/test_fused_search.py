@@ -125,6 +125,31 @@ def test_fused_hint_semantics():
         np.testing.assert_array_equal(out, res.recon)
 
 
+@needs_oracle
+def test_fused_inter_border_deblock_bitexact():
+    """Non-CTU-multiple picture + deblocking: the deblock CU-order
+    inference must clamp border CTUs to the picture (regression:
+    IndexError at 416-wide frames whose last CTU column is partial)."""
+    w, h = 160, 80               # 160 = 2*64+32, 80 = 64+16
+    cfg = _cfg(w, h, deblocking=True)
+    org0 = _content(w, h)
+    org1 = np.clip(_move(org0, 2, 1)
+                   + np.random.RandomState(5).randint(-5, 5, (h, w)),
+                   0, 1023).astype(np.int32)
+    fe = encoder.FrameEncoder(cfg)
+    r0 = fe.encode_frame(org0, poc=0, qp=32)
+    dec = fused_search.search_frame(
+        org1, cfg, qp=32, slice_type=hls.P_SLICE,
+        ref_planes=[(0, 0, r0.recon)])
+    r1 = fe.encode_frame(org1, poc=1, qp=32, slice_type=hls.P_SLICE,
+                         refs=[(0, r0)], decisions=dec)
+    from fastintercu_vvc_tpu.codec.gop import split_nals, annexb
+    nals = split_nals(r0.bitstream) + split_nals(r1.bitstream)[2:]
+    out = _oracle(annexb(nals), w, h, frames=2)
+    np.testing.assert_array_equal(out[0], r0.recon)
+    np.testing.assert_array_equal(out[1], r1.recon)
+
+
 def test_fused_rate_not_worse_than_qt_only():
     w, h = 128, 128
     cfg = _cfg(w, h)
