@@ -668,13 +668,58 @@ class FrameEncoder:
                 sao_params, cs, bd)
 
         alf_dec = None
+        self.alf_aps = None
+        self.alf_chroma = None
+        self.ccalf = {}
         if cfg.alf:
             from ..ops import alf as alf_ops
-            ctb_on, ctb_set, a_cls, a_tr = alf_ops.estimate_frame(
+            luma_pre_alf = self.recon.copy() \
+                if (cfg.ccalf and self.chroma) else None
+            ctb_on, ctb_set, a_cls, a_tr, aps = alf_ops.estimate_frame(
                 self.org, self.recon, cs, bd, self.lam)
             alf_ops.apply_frame(self.recon, ctb_on, ctb_set, a_cls,
-                                a_tr, cs, bd)
-            alf_dec = (ctb_on, ctb_set)
+                                a_tr, cs, bd,
+                                aps_coeffs=None if aps is None
+                                else aps[2])
+            chroma_dec = None
+            if self.chroma:
+                cd = alf_ops.estimate_chroma(
+                    self.org_cb, self.recon_cb, self.org_cr,
+                    self.recon_cr, cs // 2, bd, self.lam)
+                if cd is not None:
+                    ccoef, cb_on, cr_on = cd
+                    if cb_on.any():
+                        self.recon_cb[:] = alf_ops.filter_frame_chroma(
+                            self.recon_cb, cb_on,
+                            np.zeros_like(ctb_set), ccoef, cs // 2, bd)
+                    if cr_on.any():
+                        self.recon_cr[:] = alf_ops.filter_frame_chroma(
+                            self.recon_cr, cr_on,
+                            np.zeros_like(ctb_set), ccoef, cs // 2, bd)
+                    chroma_dec = (ccoef,
+                                  cb_on if cb_on.any() else None,
+                                  cr_on if cr_on.any() else None)
+                    self.alf_chroma = chroma_dec
+                if cfg.ccalf:
+                    # CC-ALF on top of chroma ALF, from pre-ALF luma
+                    # (ALFProcess order, AdaptiveLoopFilter.cpp)
+                    for comp, orgc, recc in (
+                            ("cb", self.org_cb, self.recon_cb),
+                            ("cr", self.org_cr, self.recon_cr)):
+                        cc = alf_ops.estimate_ccalf(
+                            luma_pre_alf, orgc, recc, cs, bd,
+                            self.lam)
+                        if cc is not None:
+                            ci, cc_on, D = cc
+                            recc[:] = alf_ops.cc_filter_plane(
+                                recc, D, cc_on, ci, cs // 2, bd)
+                            self.ccalf[comp] = (ci, cc_on)
+            alf_dec = {"on": ctb_on, "set": ctb_set,
+                       "num_aps": 0 if aps is None else 1,
+                       "chroma": chroma_dec,
+                       "cc_cb": self.ccalf.get("cb"),
+                       "cc_cr": self.ccalf.get("cr")}
+            self.alf_aps = aps
 
         if cfg.wpp:
             payload, tail = self._replay_frame_wpp(ctx_slice,
@@ -719,6 +764,30 @@ class FrameEncoder:
         if self.lmcs is not None:
             extra_nals.append((hls.NAL_PREFIX_APS,
                                hls.write_aps_lmcs(cfg, self.lmcs)))
+        alf_aps = getattr(self, "alf_aps", None)
+        alf_chroma = getattr(self, "alf_chroma", None)
+        ccalf = getattr(self, "ccalf", {})
+        if alf_aps is not None or alf_chroma is not None or ccalf:
+            luma = None if alf_aps is None else (alf_aps[0],
+                                                 alf_aps[1])
+            ccoef = None if alf_chroma is None else alf_chroma[0]
+            cc_cb = ccalf.get("cb")
+            cc_cr = ccalf.get("cr")
+            extra_nals.append((hls.NAL_PREFIX_APS,
+                               hls.write_aps_alf(
+                                   cfg, luma, ccoef,
+                                   None if cc_cb is None else cc_cb[0],
+                                   None if cc_cr is None
+                                   else cc_cr[0])))
+            pic = dataclasses.replace(
+                pic,
+                alf_aps_ids=(0,) if alf_aps is not None else (),
+                alf_cb=alf_chroma is not None
+                and alf_chroma[1] is not None,
+                alf_cr=alf_chroma is not None
+                and alf_chroma[2] is not None,
+                ccalf_cb=cc_cb is not None,
+                ccalf_cr=cc_cr is not None)
         bs = hls.bitstream_for_frames(cfg, [(pic, payload, tail)],
                                       extra_nals=extra_nals)
         if cfg.picture_hash:
@@ -796,6 +865,25 @@ class FrameEncoder:
     # decides, a separate pass entropy-codes, so loop-filter syntax
     # that precedes each CTU can be inserted after estimation)
 
+    def _write_alf_ctu_all(self, enc, alf_dec, rx, ry):
+        """Per-CTU ALF syntax in decoder order (CABACReader
+        coding_tree_unit): luma enable + filter index, chroma enables
+        + alternatives, CC-ALF filter control."""
+        from ..ops import alf as alf_ops
+        alf_ops.write_alf_ctu(enc, alf_dec["on"], rx, ry,
+                              alf_dec["set"], self.chroma,
+                              num_aps=alf_dec["num_aps"])
+        if alf_dec["chroma"] is not None:
+            _, cb_on, cr_on = alf_dec["chroma"]
+            for ci, m in ((1, cb_on), (2, cr_on)):
+                if m is not None:       # slice component enabled
+                    alf_ops.write_alf_ctu_chroma(enc, ci, m, rx, ry,
+                                                 None, 1)
+        for ci, key in ((1, "cc_cb"), (2, "cc_cr")):
+            cc = alf_dec.get(key)
+            if cc is not None:
+                alf_ops.write_ccalf_ctu(enc, ci, cc[1], rx, ry)
+
     def _replay_frame(self, ctx_slice, sao_params=None, alf_dec=None):
         cfg = self.cfg
         H, W = self.org.shape
@@ -818,10 +906,8 @@ class FrameEncoder:
                         enc, sao_params, x // cs, y // cs,
                         self.chroma, cfg.bit_depth)
                 if alf_dec is not None:
-                    from ..ops import alf as alf_ops
-                    alf_ops.write_alf_ctu(enc, alf_dec[0], x // cs,
-                                          y // cs, alf_dec[1],
-                                          self.chroma)
+                    self._write_alf_ctu_all(enc, alf_dec, x // cs,
+                                            y // cs)
                 self._replay_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                 None)
         enc.encode_bin_trm(1)
@@ -863,10 +949,8 @@ class FrameEncoder:
                         enc, sao_params, x // cs, y // cs,
                         self.chroma, cfg.bit_depth)
                 if alf_dec is not None:
-                    from ..ops import alf as alf_ops
-                    alf_ops.write_alf_ctu(enc, alf_dec[0], x // cs,
-                                          y // cs, alf_dec[1],
-                                          self.chroma)
+                    self._write_alf_ctu_all(enc, alf_dec, x // cs,
+                                            y // cs)
                 self._replay_cu(x, y, cs, cs, 0, 0, partition.QT_SPLIT,
                                 None)
                 if x == 0:
@@ -1724,12 +1808,19 @@ class FrameEncoder:
         mv = (inter.mv_round_to_quarter(mvx),
               inter.mv_round_to_quarter(mvy))
         amvp = None
-        if best_m is None or best_m[0] > 0:
-            def satd_at(cand):
-                pr = self._map_luma_pred(inter.mc_luma(
-                    ref_plane, x, y, w, h, cand, self.cfg.bit_depth))
-                return _satd_np(blk, pr)
-            best_s = satd_at(mv)
+
+        def satd_at(cand):
+            pr = self._map_luma_pred(inter.mc_luma(
+                ref_plane, x, y, w, h, cand, self.cfg.bit_depth))
+            return _satd_np(blk, pr)
+        best_s = satd_at(mv) if best_m is None or best_m[0] > 0 \
+            else None
+        # early skip: sub-pel refinement rarely improves SATD by more
+        # than ~10%, so when the best merge candidate already beats
+        # the integer hint by that margin the AMVP leg cannot win
+        # (EncCu's merge-first ordering exploited as a screen)
+        if best_s is not None and \
+                (best_m is None or best_m[0] > 0.88 * best_s):
             for step in (8, 4):      # half-pel then quarter-pel units
                 bmv, bs = mv, best_s
                 for (ox, oy) in ((-step, 0), (step, 0), (0, -step),

@@ -389,6 +389,14 @@ class PicConfig:
     ref_deltas_l1: tuple = ()
     active_l0: int = 1          # NumRefIdxActive[0] (<= entries)
     active_l1: int = 1
+    # ALF APS usage for this slice: number of luma APS ids (0 = fixed
+    # filter sets only) and the ids themselves; chroma per-component
+    # enables (the chroma filter comes from APS alf_aps_id_chroma = 0)
+    alf_aps_ids: tuple = ()
+    alf_cb: bool = False
+    alf_cr: bool = False
+    ccalf_cb: bool = False
+    ccalf_cr: bool = False
 
 
 def write_picture_header(w: BitWriter, cfg: SeqConfig, pic: PicConfig):
@@ -460,11 +468,21 @@ def write_slice_header(cfg: SeqConfig, pic: PicConfig) -> BitWriter:
         w.write_flag(0)                 # sh_no_output_of_prior_pics_flag
     if cfg.alf:                         # sps on, alf info in SH
         w.write_flag(1)                 # sh_alf_enabled_flag
-        w.write(0, 3)                   # sh_num_alf_aps_ids_luma (fixed
-        #                                 filter sets only, no APS)
+        w.write(len(pic.alf_aps_ids), 3)  # sh_num_alf_aps_ids_luma
+        for aid in pic.alf_aps_ids:
+            w.write(aid, 3)             # sh_alf_aps_id_luma[i]
         if cfg.chroma_enabled:
-            w.write(0, 1)               # sh_alf_cb_enabled_flag
-            w.write(0, 1)               # sh_alf_cr_enabled_flag
+            w.write(1 if pic.alf_cb else 0, 1)  # sh_alf_cb_enabled_flag
+            w.write(1 if pic.alf_cr else 0, 1)  # sh_alf_cr_enabled_flag
+            if pic.alf_cb or pic.alf_cr:
+                w.write(0, 3)           # sh_alf_aps_id_chroma
+        if cfg.ccalf and cfg.chroma_enabled:
+            w.write_flag(1 if pic.ccalf_cb else 0)  # sh_alf_cc_cb_enabled
+            if pic.ccalf_cb:
+                w.write(0, 3)           # sh_alf_cc_cb_aps_id
+            w.write_flag(1 if pic.ccalf_cr else 0)  # sh_alf_cc_cr_enabled
+            if pic.ccalf_cr:
+                w.write(0, 3)           # sh_alf_cc_cr_aps_id
     # ref_pic_lists: present unless IDR (sps_idr_rpl_present=0) —
     # i.e. also for CRA I-slices, as empty lists (spec 7.3.7.1)
     if not intra_only or pic.nal_type not in (NAL_IDR_N_LP,
@@ -575,6 +593,63 @@ def write_aps_lmcs(cfg: SeqConfig, model) -> bytes:
         w.write(abs(crs), 3)            # lmcs_delta_abs_crs
         if abs(crs) > 0:
             w.write_flag(1 if crs < 0 else 0)  # lmcs_delta_sign_crs
+    w.write_flag(0)                     # aps_extension_flag
+    w.write_byte_alignment()            # rbsp_trailing_bits
+    return w.get_bytes()
+
+
+def write_aps_alf(cfg: SeqConfig, luma=None, chroma_coeffs=None,
+                  cc_cb=None, cc_cr=None, aps_id: int = 0) -> bytes:
+    """APS RBSP carrying adaptive ALF filters (codeAPS + codeAlfAps +
+    alfFilter, VLCWriter.cpp:498,524,3043).
+
+    luma: None or (coeff_table [nf, 12] int, filt_map [25]);
+    chroma_coeffs: None or [n_alt, 6] int; cc_cb/cc_cr: None or [7]
+    power-of-two CC-ALF coefficients. Linear filters only
+    (alf_luma_clip / alf_nonlinear_enable_flag_chroma = 0)."""
+    w = BitWriter()
+    w.write(0, 3)                       # aps_params_type = ALF_APS
+    w.write(aps_id, 5)                  # adaptation_parameter_set_id
+    chroma = 1 if cfg.chroma_enabled else 0
+    w.write_flag(chroma)                # aps_chroma_present_flag
+    w.write_flag(1 if luma is not None else 0)   # alf_luma_new_filter
+    if chroma:
+        w.write_flag(1 if chroma_coeffs is not None else 0)
+        w.write_flag(1 if cc_cb is not None else 0)  # alf_cc_cb_signal
+        w.write_flag(1 if cc_cr is not None else 0)  # alf_cc_cr_signal
+    if luma is not None:
+        coeff_table, filt_map = luma
+        nf = len(coeff_table)
+        w.write_flag(0)                 # alf_luma_clip (linear)
+        w.write_uvlc(nf - 1)            # alf_luma_num_filters_signalled
+        if nf > 1:
+            length = (nf - 1).bit_length()  # ceilLog2(nf)
+            for c in range(25):
+                w.write(int(filt_map[c]), length)  # coeff_delta_idx
+        for f in range(nf):
+            for v in coeff_table[f]:
+                w.write_uvlc(abs(int(v)))   # alf_luma_coeff_abs
+                if v:
+                    w.write_flag(1 if v < 0 else 0)  # coeff_sign
+    if chroma_coeffs is not None:
+        w.write_flag(0)                 # alf_nonlinear_enable_chroma
+        w.write_uvlc(len(chroma_coeffs) - 1)  # alf_chroma_num_alts
+        for alt in chroma_coeffs:
+            for v in alt:
+                w.write_uvlc(abs(int(v)))   # alf_chroma_coeff_abs
+                if v:
+                    w.write_flag(1 if v < 0 else 0)  # coeff_sign
+    for cc in (cc_cb, cc_cr):
+        if cc is None:
+            continue
+        w.write_uvlc(0)                 # alf_cc_*_filters_signalled
+        for v in cc:                    # 7 mapped coefficients
+            a = abs(int(v))
+            if a == 0:
+                w.write(0, 3)           # alf_cc_*_mapped_coeff_abs
+            else:
+                w.write(1 + (a.bit_length() - 1), 3)
+                w.write_flag(1 if v < 0 else 0)  # alf_cc_*_coeff_sign
     w.write_flag(0)                     # aps_extension_flag
     w.write_byte_alignment()            # rbsp_trailing_bits
     return w.get_bytes()
