@@ -22,3 +22,32 @@ integer-exact normative math. See SURVEY.md §7.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_jit_cache():
+    """XLA executables are cached on disk so repeated encoder runs
+    (bench, CTC harness, CLI) skip the 20-40 s first-compile cost per
+    (shape, pass) combination. Safe no-op if jax is unavailable or the
+    backend rejects serialization."""
+    import os
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # XLA:CPU AOT cache entries embed host-feature assumptions that
+        # are detected inconsistently across processes on this machine
+        # (SIGILL risk) — cache only the TPU executables
+        return
+    try:
+        import jax
+        cache = os.environ.get(
+            "FASTINTERCU_JIT_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:                    # pragma: no cover
+        pass
+
+
+_enable_persistent_jit_cache()

@@ -18,6 +18,8 @@ block; the batched RDO bit-estimator mirrors this in JAX.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..ops import rom
@@ -254,24 +256,32 @@ def apply_sign_hiding(coeff: np.ndarray) -> np.ndarray:
     matches. Encoder choice: bump |last nonzero| by one (VTM picks the
     RD-cheapest coefficient; the normative decode only needs parity)."""
     h, w = coeff.shape
-    cctx = CoeffCtx(w, h, LUMA)      # scan layout only (ch-independent)
-    scan = cctx.scan
+    sx, sy, gsize = _sbh_scan(w, h)
     q = coeff.copy()
-    gsize = 1 << cctx.log2_cg_size
-    for sub in range(0, len(scan), gsize):
-        grp = scan[sub:sub + gsize]
-        vals = [int(q[gy, gx]) for (gx, gy) in grp]
-        nz = [i for i, v in enumerate(vals) if v]
-        if not nz:
-            continue
-        first, last = nz[0], nz[-1]
-        if last - first < SBH_THRESHOLD:
-            continue
-        sign_bit = 0 if vals[first] > 0 else 1
-        if sign_bit != (sum(vals[first:last + 1]) & 1):
-            gx, gy = grp[last]
-            q[gy, gx] += 1 if q[gy, gx] > 0 else -1
+    vals = q[sy, sx].reshape(-1, gsize)               # [groups, gsize]
+    nzm = vals != 0
+    has = nzm.any(axis=1)
+    first = np.argmax(nzm, axis=1)
+    last = gsize - 1 - np.argmax(nzm[:, ::-1], axis=1)
+    idx = np.arange(gsize)
+    within = (idx >= first[:, None]) & (idx <= last[:, None])
+    gsum = (vals * within).sum(axis=1)
+    sign_bit = (vals[np.arange(len(vals)), first] < 0).astype(np.int64)
+    need = has & (last - first >= SBH_THRESHOLD) & (sign_bit != (gsum & 1))
+    for g in np.nonzero(need)[0]:
+        p = g * gsize + last[g]
+        gx, gy = int(sx[p]), int(sy[p])
+        q[gy, gx] += 1 if q[gy, gx] > 0 else -1
     return q
+
+
+@functools.lru_cache(maxsize=None)
+def _sbh_scan(w, h):
+    """Scan x/y index vectors + group size for sign hiding."""
+    cctx = CoeffCtx(w, h, LUMA)      # scan layout only (ch-independent)
+    scan = np.asarray(cctx.scan)
+    return (np.ascontiguousarray(scan[:, 0]),
+            np.ascontiguousarray(scan[:, 1]), 1 << cctx.log2_cg_size)
 
 
 SBH_THRESHOLD = 4

@@ -377,15 +377,17 @@ def predict_angular(mode: int, top: np.ndarray, left: np.ndarray,
             refLength = ref_lengths[0] if is_ver else ref_lengths[1]
         else:
             refLength = 2 * width
-        max_ext = 3 + mrl * 4
-        refMain = np.zeros(refLength + mrl + max_ext, np.int64)
+        log2_ratio = (width.bit_length() - height.bit_length())
+        sft = max(0, log2_ratio if is_ver else -log2_ratio)
+        max_index = (mrl << sft) + 2
+        # extension must hold maxIndex entries past refLength + mrl
+        # (IntraPrediction.cpp positive-angle fill; aspect ratios >= 8
+        # with MRL push the shift beyond the old 3 + 4*mrl bound)
+        refMain = np.zeros(refLength + mrl + max_index + 1, np.int64)
         off = 0
         src_main = top if is_ver else left
         src_side = left if is_ver else top
         refMain[:refLength + 1 + mrl] = src_main[:refLength + 1 + mrl]
-        log2_ratio = (width.bit_length() - height.bit_length())
-        sft = max(0, log2_ratio if is_ver else -log2_ratio)
-        max_index = (mrl << sft) + 2
         for z in range(1, max_index + 1):
             refMain[refLength + mrl + z] = src_main[refLength + mrl]
         side = src_side
@@ -553,43 +555,41 @@ def cclm_downsample(recon_y, xc, yc, wc, hc, above, left, first_ctu_row,
     H, W = recon_y.shape
     x0, y0 = 2 * xc, 2 * yc
 
-    def rec(yy, xx):
-        return int(recon_y[min(max(yy, 0), H - 1), min(max(xx, 0), W - 1)])
+    def rc(yy, xx):
+        return recon_y[np.clip(yy, 0, H - 1),
+                       np.clip(xx, 0, W - 1)].astype(np.int32)
 
-    def ds6(yy, xx, left_pad):
-        s = 4
-        s += rec(yy, xx) * 2
-        s += rec(yy, xx + 1)
-        s += rec(yy, xx - (0 if left_pad else 1))
-        s += rec(yy + 1, xx) * 2
-        s += rec(yy + 1, xx + 1)
-        s += rec(yy + 1, xx - (0 if left_pad else 1))
-        return s >> 3
+    def ds6(yy, xx, xm1):
+        """Vectorized 6-tap; xm1 = xx column minus (0 when left-padded
+        else 1), broadcastable with xx."""
+        return (4 + 2 * rc(yy, xx) + rc(yy, xx + 1) + rc(yy, xm1)
+                + 2 * rc(yy + 1, xx) + rc(yy + 1, xx + 1)
+                + rc(yy + 1, xm1)) >> 3
 
-    inner = np.empty((hc, wc), np.int32)
-    for j in range(hc):
-        for i in range(wc):
-            inner[j, i] = ds6(y0 + 2 * j, x0 + 2 * i,
-                              i == 0 and not left)
+    ii = x0 + 2 * np.arange(wc)
+    lp = np.zeros(wc, bool)
+    lp[0] = not left                       # i == 0 and no left template
+    xm1 = ii - np.where(lp, 0, 1)
+    jj = (y0 + 2 * np.arange(hc))[:, None]
+    inner = ds6(jj, ii[None, :], xm1[None, :]).astype(np.int32)
     top = None
     if above:
         n = wc + added_ar
-        top = np.empty(n, np.int32)
-        for i in range(n):
-            left_pad = i == 0 and not left
-            if first_ctu_row:
-                s = 2 + rec(y0 - 1, x0 + 2 * i) * 2 \
-                    + rec(y0 - 1, x0 + 2 * i + 1) \
-                    + rec(y0 - 1, x0 + 2 * i - (0 if left_pad else 1))
-                top[i] = s >> 2
-            else:
-                top[i] = ds6(y0 - 2, x0 + 2 * i, left_pad)
+        it = x0 + 2 * np.arange(n)
+        lpt = np.zeros(n, bool)
+        lpt[0] = not left
+        xm1t = it - np.where(lpt, 0, 1)
+        if first_ctu_row:
+            top = ((2 + 2 * rc(y0 - 1, it) + rc(y0 - 1, it + 1)
+                    + rc(y0 - 1, xm1t)) >> 2).astype(np.int32)
+        else:
+            top = ds6(np.full(n, y0 - 2), it, xm1t).astype(np.int32)
     lft = None
     if left:
         n = hc + added_lb
-        lft = np.empty(n, np.int32)
-        for j in range(n):
-            lft[j] = ds6(y0 + 2 * j, x0 - 2, False)
+        jl = y0 + 2 * np.arange(n)
+        lft = ds6(jl, np.full(n, x0 - 2),
+                  np.full(n, x0 - 3)).astype(np.int32)
     return inner, top, lft
 
 

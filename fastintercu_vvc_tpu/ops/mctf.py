@@ -141,14 +141,30 @@ def mctf_frame(frames: list, idx: int, qp: int, strength: float,
     same format; inputs are numpy, compute is jitted JAX."""
     item = frames[idx]
     has_chroma = isinstance(item, tuple)
-    org_y = jnp.asarray(item[0] if has_chroma else item, jnp.int32)
     offsets = [o for o in range(-RANGE, RANGE + 1)
                if o != 0 and 0 <= idx + o < len(frames)]
     if not offsets:
         return item
-    refs_y = [jnp.asarray(frames[idx + o][0] if has_chroma
-                          else frames[idx + o], jnp.int32)
-              for o in offsets]
+
+    def _luma(f):
+        return np.asarray(f[0] if has_chroma else f)
+
+    H, W = _luma(item).shape
+    # the pyramid ME needs dims divisible by the block size at the
+    # quarter level (16): edge-pad and crop the filtered output
+    ph, pw = -H % block, -W % block
+    phc, pwc = ph // 2, pw // 2
+
+    def padl(a):
+        return jnp.asarray(np.pad(a, ((0, ph), (0, pw)), mode="edge"),
+                           jnp.int32)
+
+    def padc(a):
+        return jnp.asarray(np.pad(a, ((0, phc), (0, pwc)),
+                                  mode="edge"), jnp.int32)
+
+    org_y = padl(_luma(item))
+    refs_y = [padl(_luma(frames[idx + o])) for o in offsets]
     mvs = [motion_search(org_y, r, block) for r in refs_y]
     corrected_y = jnp.stack([_apply_motion(r, m, block)
                              for r, m in zip(refs_y, mvs)])
@@ -159,19 +175,21 @@ def mctf_frame(frames: list, idx: int, qp: int, strength: float,
     luma_sigma_sq = (qp - SIGMA_ZERO) ** 2 * SIGMA_MULT
     out_y = np.asarray(bilateral_blend(
         org_y, corrected_y, rs, luma_sigma_sq,
-        float(strength * LUMA_FACTOR), bit_depth))
+        float(strength * LUMA_FACTOR), bit_depth))[:H, :W]
     if not has_chroma:
         return out_y
     outs_c = []
     for pi in (1, 2):
-        org_c = jnp.asarray(item[pi], jnp.int32)
+        hc, wc = item[pi].shape
+        org_c = padc(item[pi])
         corr = jnp.stack([
-            _apply_motion(jnp.asarray(frames[idx + o][pi], jnp.int32),
+            _apply_motion(padc(frames[idx + o][pi]),
                           m // 2, block // 2)
             for o, m in zip(offsets, mvs)])
         outs_c.append(np.asarray(bilateral_blend(
             org_c, corr, rs, 30.0 * 30.0,
-            float(strength * CHROMA_FACTOR), bit_depth)))
+            float(strength * CHROMA_FACTOR),
+            bit_depth))[:hc, :wc])
     return (out_y, outs_c[0], outs_c[1])
 
 

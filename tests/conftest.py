@@ -18,5 +18,12 @@ import jax  # noqa: E402
 
 if not os.environ.get("FIVT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+    # keep CPU runs out of the persistent executable cache (host
+    # feature detection differs between processes here; loading a
+    # mismatched XLA:CPU AOT blob can SIGILL)
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -145,7 +145,10 @@ SAO              : 1
              "-c", cp, "--recon", os.path.join(d, "rec.yuv")],
             capture_output=True, timeout=600,
             cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))
+                os.path.abspath(__file__))),
+            # CPU backend: the TPU tunnel takes ~80 s to initialize in
+            # a fresh process, which under load blows the timeout
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
         assert r.returncode == 0, (r.stdout.decode()[-800:],
                                    r.stderr.decode()[-800:])
         rr = subprocess.run([ORACLE, "-b", os.path.join(d, "out.bin"),
