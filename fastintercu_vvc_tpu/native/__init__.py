@@ -17,7 +17,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libcabac.so")
 _SRCS = [os.path.join(_DIR, "cabac_engine.c"),
          os.path.join(_DIR, "residual_ops.c"),
-         os.path.join(_DIR, "commit_kernel.c")]
+         os.path.join(_DIR, "commit_kernel.c"),
+         os.path.join(_DIR, "depquant.c")]
 
 _lib = None
 
@@ -87,6 +88,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint16),
             _u8p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), _u8p]
+        lib.dq_trellis.restype = ctypes.c_int64
+        lib.dq_trellis.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), _i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+            ctypes.c_double, _i32p]
         lib.residual_ops.restype = ctypes.c_int64
         lib.residual_ops.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -258,6 +264,23 @@ def mode_sads(org, recon, coded, x, y, w, h, bd, modes, xmax=None):
         _i32p(m), len(m), _i32p(preds),
         sads.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return preds, sads
+
+
+def dq_trellis(qf_scan: np.ndarray, sgn_scan: np.ndarray, step: int,
+               qshift: int, err_norm: float, lam: float) -> np.ndarray:
+    """4-state Viterbi dependent-quant level decision (depquant.c).
+    qf_scan: int64 scaled |coeff| in scan order. -> signed levels in
+    scan order (int32)."""
+    lib = get_lib()
+    assert lib is not None
+    qf = np.ascontiguousarray(qf_scan, np.int64)
+    sg = np.ascontiguousarray(sgn_scan, np.int32)
+    out = np.zeros(len(qf), np.int32)
+    r = lib.dq_trellis(
+        qf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _i32p(sg),
+        len(qf), step, qshift, err_norm, lam, _i32p(out))
+    assert r >= -1, f"dq_trellis error {r}"
+    return out
 
 
 class OpRecorder:

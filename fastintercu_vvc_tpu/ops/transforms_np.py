@@ -108,8 +108,20 @@ def quant_dep(coeff: np.ndarray, qp: int, bit_depth: int = 10,
         return e * e * err_norm + lam * rate
 
     vals = qf[scan[:, 1], scan[:, 0]]
-    nz = np.nonzero(vals * 2 >= 2 * step)[0]
     q = np.zeros((H, W), np.int32)
+
+    from .. import native
+    if native.get_lib() is not None:
+        # exact 4-state Viterbi over the scan (depquant.c — the
+        # DepQuant.cpp:855-1574 trellis role)
+        sg = sgn[scan[:, 1], scan[:, 0]].astype(np.int32)
+        levels = native.dq_trellis(vals, sg, step, qshift,
+                                   err_norm, lam)
+        q[scan[:, 1], scan[:, 0]] = levels
+        return q
+
+    # pure-python fallback: greedy state follower
+    nz = np.nonzero(vals * 2 >= 2 * step)[0]
     # trim: last = highest position whose RD cost prefers a nonzero
     # level at state 0
     last = -1
