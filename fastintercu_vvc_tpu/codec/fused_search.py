@@ -265,8 +265,8 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                  slice_type: int = hls.I_SLICE,
                  ref_planes=(),
                  split_hints: np.ndarray | None = None,
-                 me_range: int = 16, max_bt_depth: int = 2
-                 ) -> FusedDecisions:
+                 me_range: int = 16, max_bt_depth: int = 2,
+                 mesh=None) -> FusedDecisions:
     """Whole-frame fused QT+BT search.
 
     ref_planes: [(lst, ridx, plane)] reconstructed reference planes to
@@ -274,6 +274,9 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     and RD-compares against merge candidates).
     split_hints: per-CTU [nCtuY, nCtuX] int array, -1 = no hint, else
     the MLT-CNN class {0: no-split, 1: QT, 2: BT_H, 3: BT_V}.
+    mesh: optional jax.sharding.Mesh — the intra sweep and the SAD map
+    run CTU-column-tile sharded with ppermute halo exchange
+    (parallel.fused_shard), bit-identical to single-device.
     """
     cs = cfg.ctu_size
     org_p = _pad_to_ctu(np.asarray(org, np.int32), cs)
@@ -313,7 +316,18 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     jorg = jnp.asarray(org_p)
 
     # ---- intra leg (all classes, one dispatch, two downloads)
-    iv, cv = _intra_leaf_device(jorg, classes)
+    use_mesh = None
+    if mesh is not None:
+        from ..parallel import fused_shard, mesh as mesh_mod
+        n_dev = mesh.shape[mesh_mod.tile_axis]
+        max_w = max(w for (w, _) in classes)
+        if W % (n_dev * max_w) == 0:
+            use_mesh = mesh
+    if use_mesh is not None:
+        iv, cv = fused_shard.sharded_intra_leaf(org_p, classes,
+                                                use_mesh)
+    else:
+        iv, cv = _intra_leaf_device(jorg, classes)
     iv = np.asarray(iv)
     cv = np.asarray(cv)
 
@@ -336,7 +350,12 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         pads, s8 = [], []
         for (_, _, plane) in ref_planes:
             p = _pad_to_ctu(np.asarray(plane, np.int32), cs)
-            s8.append(_sad8_map(jorg, jnp.asarray(p), sr))
+            if use_mesh is not None:
+                from ..parallel import fused_shard
+                s8.append(jnp.asarray(fused_shard.sharded_sad8_map(
+                    org_p, p, sr, use_mesh)))
+            else:
+                s8.append(_sad8_map(jorg, jnp.asarray(p), sr))
             pads.append(jnp.pad(jnp.asarray(p), sr, mode="edge"))
         sad8 = jnp.stack(s8)
         padrefs = jnp.stack(pads)
