@@ -114,6 +114,47 @@ def _root_label(wmap, hmap, cx, cy, cs):
     return 1                          # QT
 
 
+def extract_from_ra_fused(frames, cfg: hls.SeqConfig, qp: int,
+                          gop_size: int = 8, intra_period: int = 16,
+                          me_range: int = 16) -> SplitSamples:
+    """Fast large-scale extraction: run the fused-search RA encoder
+    (the deployment configuration) and harvest CTU-root split labels
+    of the inter frames, with the exact deployment features — current
+    luma + the L0 reference recon the split_hints_fn would see
+    (gop.RandomAccessEncoder split_hints_fn contract). Partial border
+    CTUs are skipped (the reference's CNN gate requires the CU fully
+    inside the picture, EncCu.cpp:746-756)."""
+    from ..codec import gop
+    cs = cfg.ctu_size
+    feats: dict = {}
+
+    def rec_hints(luma, ref, poc, q):
+        if ref is not None:
+            feats[poc] = (np.asarray(luma), np.asarray(ref), q)
+        return None
+
+    enc = gop.RandomAccessEncoder(
+        cfg, gop_size=gop_size, mctf=False, hierarchical_qp=True,
+        intra_period=intra_period, search="fused",
+        split_hints_fn=rec_hints, me_range=me_range)
+    res = enc.encode(frames, qp=qp)
+    orgs, preds, pocs, qps, labels = [], [], [], [], []
+    for poc, (luma, ref, q) in sorted(feats.items()):
+        r = res.recons[poc]
+        wmap = r.cu_map >> 16
+        hmap = r.cu_map & 0xFFFF
+        for cy in range(0, cfg.height - cs + 1, cs):
+            for cx in range(0, cfg.width - cs + 1, cs):
+                orgs.append(luma[cy:cy + cs, cx:cx + cs])
+                preds.append(ref[cy:cy + cs, cx:cx + cs])
+                pocs.append(poc)
+                qps.append(q)
+                labels.append(_root_label(wmap, hmap, cx, cy, cs))
+    return SplitSamples(np.stack(orgs), np.stack(preds),
+                        np.asarray(pocs), np.asarray(qps),
+                        np.asarray(labels))
+
+
 def extract_from_inter_sequence(frames, cfg: hls.SeqConfig, qp: int,
                                 me_range: int = 8) -> SplitSamples:
     """The FastInterCU deployment contract: run the sequential RD

@@ -13,12 +13,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean softmax cross-entropy with integer labels."""
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  class_weights=None) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels; optional
+    per-class sample weights (inverse-frequency balancing for the
+    heavily skewed split-label distribution)."""
     logp = _log_softmax(logits)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
                                axis=-1)[:, 0]
-    return jnp.mean(nll)
+    if class_weights is None:
+        return jnp.mean(nll)
+    w = jnp.asarray(class_weights, jnp.float32)[labels]
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
 def _log_softmax(x):
@@ -59,6 +65,32 @@ def mlt_ctu_loss(outs, labels, step):
     w = staged_ce_weights(step, _CTU_STAGES)
     losses = jnp.stack([cross_entropy(o, l) for o, l in zip(outs, labels)])
     return jnp.sum(w * losses)
+
+
+def scaled_ctu_stages(total_steps: int):
+    """The reference schedule's stage FRACTIONS (150k/300k/450k of
+    600k = 25/50/75%) applied to an arbitrary run length — a 600k-iter
+    schedule on a 20k-step run otherwise never leaves stage 1 and the
+    l2/l3 heads (weights 0.02/0.01) stay untrained."""
+    fr = [t / 600_000 for t, _ in _CTU_STAGES[:-1]]
+    return tuple((int(f * total_steps), w)
+                 for f, (_, w) in zip(fr, _CTU_STAGES[:-1])) \
+        + (_CTU_STAGES[-1],)
+
+
+def make_ctu_loss(total_steps: int | None = None, class_weights=None):
+    """Staged 3-level CE with run-length-scaled stages and optional
+    per-head class weights (tuple of 3 vectors, lengths 2/3/4)."""
+    stages = _CTU_STAGES if total_steps is None \
+        else scaled_ctu_stages(total_steps)
+    cw = class_weights or (None, None, None)
+
+    def loss_fn(outs, labels, step):
+        w = staged_ce_weights(step, stages)
+        ls = jnp.stack([cross_entropy(o, l, c)
+                        for o, l, c in zip(outs, labels, cw)])
+        return jnp.sum(w * ls)
+    return loss_fn
 
 
 def mlt_cu_loss(outs, labels, step):

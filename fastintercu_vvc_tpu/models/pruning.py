@@ -60,6 +60,48 @@ def predict_split_modes(model, variables, org: np.ndarray,
     return cls.reshape(H // ctu_size, W // ctu_size)
 
 
+def make_hints_fn(ckpt_dir: str, ctu_size: int = 128,
+                  bit_depth: int = 10, inter_only: bool = True):
+    """Load a trained checkpoint and return the split_hints_fn
+    deployment closure for gop.RandomAccessEncoder /
+    BatchedSequenceEncoder: (luma, ref_recon_or_None, poc, qp) ->
+    per-CTU class hints [nCtuY, nCtuX] (full 4-class semantics for the
+    fused search), or None when gated off.
+
+    The reference fires its CNN only on 128x128 luma CTUs of inter
+    slices (EncCu.cpp:746-756); inter_only mirrors that — I slices
+    search unpruned. Frames are edge-padded to a CTU multiple; hints
+    for partial border CTUs are cleared to -1 (no hint), matching the
+    in-picture gate."""
+    import os
+    from . import train as train_mod
+    from . import mlt_cnn
+    model = mlt_cnn.GapBigMltCtu()
+    variables = train_mod.load_weights(
+        os.path.join(ckpt_dir, "weights.msgpack"), model)
+
+    def hints_fn(luma, ref, poc, qp):
+        if ref is None and inter_only:
+            return None
+        luma = np.asarray(luma)
+        H, W = luma.shape
+        ph, pw = -H % ctu_size, -W % ctu_size
+        lp = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
+        rp = None if ref is None else np.pad(
+            np.asarray(ref), ((0, ph), (0, pw)), mode="edge")
+        cls = predict_split_modes(model, variables, lp, rp, poc, qp,
+                                  ctu_size, bit_depth)
+        if ph or pw:
+            cls = cls.astype(np.int32)
+            if ph:
+                cls[-1, :] = -1           # partial bottom row
+            if pw:
+                cls[:, -1] = -1           # partial right column
+        return cls.astype(np.int32)
+
+    return hints_fn
+
+
 def split_hints_from_classes(classes: np.ndarray) -> np.ndarray:
     """Map level-3 classes to batch_search split hints.
 
