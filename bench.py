@@ -121,11 +121,40 @@ def main():
     except Exception as e:                       # pragma: no cover
         print(f"secondary ippp failed: {e}", file=sys.stderr)
 
+    # quality leg: 416x240 RA at 3 QPs vs the live VTM-11 RA anchor
+    # (anchor runs are cached in tools/anchors — the anchor encoder is
+    # deterministic for a given clip/config) -> BD-rate + RA fps.
+    extra = {}
+    try:
+        sys.path.insert(0, os.path.join(ROOT, "tools"))
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ctc", os.path.join(ROOT, "tools", "ctc.py"))
+        ctc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ctc)
+        r = ctc.measure(name="bench240", w=416, h=240, n=33,
+                        gop_size=32, intra_period=32,
+                        qps=(27, 32, 37), verbose=True)
+        extra = {
+            "bd_rate_vs_vtm": round(r["bd_rate_vs_vtm"], 3),
+            "ra_fps_416x240": round(r["ours_fps"], 4),
+            "ra_anchor_fps": round(r["anchor_fps"], 4),
+            "ra_psnr_at_qp32": round(r["ours"]["psnrs"][1], 3),
+            "ra_anchor_psnr_at_qp32": round(r["anchor"]["psnrs"][1],
+                                            3),
+        }
+        print(f"RA 416x240: bd-rate {extra['bd_rate_vs_vtm']}% "
+              f"ours {extra['ra_fps_416x240']} fps vs anchor "
+              f"{extra['ra_anchor_fps']} fps", file=sys.stderr)
+    except Exception as e:                       # pragma: no cover
+        print(f"quality leg failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "encode_fps_256p_allintra",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        **extra,
     }))
 
 
