@@ -380,9 +380,13 @@ class FrameEncoder:
 
     def __init__(self, cfg: hls.SeqConfig, num_mode_cands: int = 3,
                  me_range: int = 16, two_pass: bool = False,
-                 batched_me: bool = True):
+                 batched_me: bool = True, collect_stats: bool = False):
         self.two_pass = two_pass
         self.batched_me = batched_me
+        # per-syntax bit accounting (utils.bitacct; VTM
+        # CodingStatistics.h:50 analogue) — filled per frame when on
+        self.collect_stats = collect_stats
+        self.bit_accounting = None
         # arbitrary picture sizes: dims need only be a multiple of
         # max(8, minCU) (spec constraint on pps_pic_*_in_luma_samples);
         # CTU-border overhang is handled by implicit splits
@@ -735,7 +739,12 @@ class FrameEncoder:
         else:
             enc.encode_bin_trm(1)
             if use_native:
-                payload, tail = native.cabac_run(enc.to_array(), bank)
+                ops = enc.to_array()
+                if self.collect_stats:
+                    from ..utils import bitacct
+                    self.bit_accounting = bitacct.account_ops(
+                        ops, bank.copy())
+                payload, tail = native.cabac_run(ops, bank)
             else:
                 payload, tail = enc.finish(), enc.tail_bits()
         if slice_type == hls.I_SLICE:
@@ -912,7 +921,12 @@ class FrameEncoder:
                                 None)
         enc.encode_bin_trm(1)
         if use_native:
-            return native.cabac_run(enc.to_array(), bank)
+            ops = enc.to_array()
+            if self.collect_stats:
+                from ..utils import bitacct
+                self.bit_accounting = bitacct.account_ops(ops,
+                                                          bank.copy())
+            return native.cabac_run(ops, bank)
         return enc.finish(), enc.tail_bits()
 
     def _replay_frame_wpp(self, ctx_slice, sao_params=None,

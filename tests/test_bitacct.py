@@ -1,0 +1,76 @@
+"""Per-syntax bit accounting + block statistics export
+(CodingStatistics.h:50 / dtrace_blockstatistics.cpp parity)."""
+
+import numpy as np
+import pytest
+
+from fastintercu_vvc_tpu import native
+from fastintercu_vvc_tpu.codec import encoder, gop, hls
+from fastintercu_vvc_tpu.utils import bitacct, blockstats
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native CABAC unavailable")
+
+
+def _clip(w, h, n, seed=3):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.clip(512 + 300 * np.sin((xx - 2 * t) / 9.0)
+                    * np.cos((yy + t) / 11.0)
+                    + rng.randint(-8, 8, (h, w)), 0,
+                    1023).astype(np.int32) for t in range(n)]
+
+
+def test_element_map_covers_all_contexts():
+    emap, names = bitacct.element_map()
+    assert emap.shape[0] > 0 and emap.min() >= 0
+    assert "SplitFlag" in names and "SigFlag" in names
+
+
+def test_accounting_tracks_payload():
+    w = h = 64
+    frames = _clip(w, h, 2)
+    cfg = hls.SeqConfig(width=w, height=h,
+                        chroma_format=hls.CHROMA_400, ctu_size=64,
+                        min_qt_intra=16, min_qt_inter=16, qp=32)
+    # two_pass routes through the final-entropy replay (the committed
+    # op stream the accountant consumes; the pure-Python RD path has no
+    # recorded ops)
+    fe = encoder.FrameEncoder(cfg, collect_stats=True, two_pass=True)
+    r = fe.encode_frame(frames[0], qp=32)
+    acct = fe.bit_accounting
+    assert acct, "no accounting collected"
+    total = sum(acct.values())
+    # num_bits additionally carries NAL/slice headers + byte aligns,
+    # so the estimated slice-data total must stay below it but be a
+    # substantial fraction on a coded frame
+    assert 0 < total < r.num_bits
+    assert total > 100
+    # residual coding dominates an intra frame at qp32 (EP remainder
+    # bins fold into GtxFlag — the element that precedes them)
+    resid = sum(acct.get(k, 0.0) for k in
+                ("SigFlag", "ParFlag", "GtxFlag", "LastX", "LastY",
+                 "SigCoeffGroup"))
+    assert resid > 0.5 * total
+    # report formats without error
+    rep = bitacct.format_report(acct, r.num_bits)
+    assert "SigFlag" in rep and "TOTAL" in rep
+
+
+def test_blockstats_dump_covers_frame():
+    w, h = 128, 64
+    frames = _clip(w, h, 3, seed=9)
+    cfg = hls.SeqConfig(width=w, height=h,
+                        chroma_format=hls.CHROMA_400, ctu_size=64,
+                        min_qt_intra=16, min_qt_inter=16, qp=32,
+                        temporal_mvp=True)
+    se = gop.SequenceEncoder(cfg, me_range=4)
+    se.encode(frames, qp=32)
+    maps = se.frame_encoder.maps
+    recs = blockstats.cu_records(maps)
+    assert sum(r["w"] * r["h"] for r in recs) == w * h
+    txt = blockstats.dump_frame(maps, poc=2)
+    assert "BlockStat: POC 2" in txt
+    # P-frame: some inter blocks with an L0 vector
+    assert any(not r["intra"] and r["inter_dir"] for r in recs)
+    assert "MVL0={" in txt
