@@ -127,15 +127,17 @@ class _GapHead(nn.Module):
 
     num_classes: int
     dtype: Dtype = jnp.float32
+    use_pq: bool = True      # ablation: drop the POC/QP side inputs
 
     @nn.compact
     def __call__(self, feat, poc, qp):
         # feat: [N, H, W, C]; poc/qp: [N]
         g = jnp.mean(feat.astype(jnp.float32), axis=(1, 2))  # [N, C]
-        side = jnp.stack([poc.astype(jnp.float32), qp.astype(jnp.float32)],
-                         axis=-1)  # [N, 2]
-        h = jnp.concatenate([g, side], axis=-1)
-        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(h)
+        if self.use_pq:
+            side = jnp.stack([poc.astype(jnp.float32),
+                              qp.astype(jnp.float32)], axis=-1)  # [N, 2]
+            g = jnp.concatenate([g, side], axis=-1)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(g)
 
 
 class MltCnnL3(nn.Module):
@@ -155,6 +157,7 @@ class MltCnnL3(nn.Module):
     num_classes: Sequence[int] = (2, 3, 4)
     block: type = BasicBlock
     dtype: Dtype = jnp.float32
+    use_pq: bool = True      # ablation: GapBigMltCtuOR (no POC/QP)
 
     @nn.compact
     def __call__(self, x, poc, qp, *, train: bool = False):
@@ -168,15 +171,18 @@ class MltCnnL3(nn.Module):
         for blk in _stage(self.block, self.widths[1], self.num_blocks[1], 2,
                           self.dtype, "layer1"):
             out = blk(out, train=train)
-        lvl1 = _GapHead(self.num_classes[0], name="branch1")(out, poc, qp)
+        lvl1 = _GapHead(self.num_classes[0], use_pq=self.use_pq,
+                        name="branch1")(out, poc, qp)
         for blk in _stage(self.block, self.widths[2], self.num_blocks[2], 2,
                           self.dtype, "layer2"):
             out = blk(out, train=train)
-        lvl2 = _GapHead(self.num_classes[1], name="branch2")(out, poc, qp)
+        lvl2 = _GapHead(self.num_classes[1], use_pq=self.use_pq,
+                        name="branch2")(out, poc, qp)
         for blk in _stage(self.block, self.widths[3], self.num_blocks[3], 2,
                           self.dtype, "layer3"):
             out = blk(out, train=train)
-        lvl3 = _GapHead(self.num_classes[2], name="branch3")(out, poc, qp)
+        lvl3 = _GapHead(self.num_classes[2], use_pq=self.use_pq,
+                        name="branch3")(out, poc, qp)
         return lvl1, lvl2, lvl3
 
 
@@ -213,6 +219,38 @@ class MltCnnL4(nn.Module):
         return tuple(heads)
 
 
+class ResNetSplit(nn.Module):
+    """Single-head ResNet-18-style baseline (ablation family).
+
+    Parity targets: mlt-cnn-python/codes/models/archs/resnet_arch.py
+    (org-only, 1ch), resnet_org_resi_arch.py (org+resi, 2ch) and
+    resnet_org_resi_pq_arch.py (+ POC/QP side inputs) — the paper's
+    ablations against the multi-level MLT heads. One 4-class split
+    decision at the CTU root, no intermediate-level supervision.
+
+    forward(x[N,S,S,in_ch], poc[N], qp[N]) -> logits[N,4]
+    """
+
+    num_blocks: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (32, 64, 128, 256)
+    num_classes: int = 4
+    use_pq: bool = False
+    block: type = BasicBlock
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, poc, qp, *, train: bool = False):
+        out = nn.Conv(self.widths[0], (3, 3), strides=(1, 1), padding=1,
+                      use_bias=False, dtype=self.dtype,
+                      name="stem")(x.astype(self.dtype))
+        for i, n in enumerate(self.num_blocks):
+            for blk in _stage(self.block, self.widths[i], n, 2,
+                              self.dtype, f"layer{i}"):
+                out = blk(out, train=train)
+        return _GapHead(self.num_classes, use_pq=self.use_pq,
+                        name="head")(out, poc, qp)
+
+
 def GapBigMltCtu(dtype: Dtype = jnp.float32) -> MltCnnL3:
     """The deployed 128x128 CTU net (factory parity:
     mlt_ctu_or_pq_arch.py:305-306 ``GapBigMltCtuORPQ``)."""
@@ -227,6 +265,13 @@ def GapBigMltCu(dtype: Dtype = jnp.float32) -> MltCnnL4:
 _REGISTRY = {
     "GapBigMltCtuORPQ": GapBigMltCtu,
     "GapBigMltCuORPQ": GapBigMltCu,
+    # ablation/baseline family (reference archs/ dir: resnet_arch.py,
+    # resnet_org_resi_arch.py, resnet_org_resi_pq_arch.py,
+    # mlt_ctu_or_arch.py)
+    "ResNetO": lambda **kw: ResNetSplit(**kw),            # org-only 1ch
+    "ResNetOR": lambda **kw: ResNetSplit(**kw),           # org+resi 2ch
+    "ResNetORPQ": lambda **kw: ResNetSplit(use_pq=True, **kw),
+    "GapBigMltCtuOR": lambda **kw: MltCnnL3(use_pq=False, **kw),
 }
 
 

@@ -119,3 +119,32 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     outs = jax.jit(fn)(*args)
     assert outs[2].shape == (8, 4)
+
+
+def test_ablation_archs():
+    """Baseline/ablation family (reference resnet_arch.py etc.):
+    single-head ResNet and the no-PQ MLT variant forward with the
+    right shapes; the PQ ablation actually changes the head params."""
+    x1 = jnp.zeros((2, 32, 32, 1))
+    x2 = jnp.zeros((2, 32, 32, 2))
+    poc = jnp.zeros((2,))
+    qp = jnp.zeros((2,))
+    small = dict(num_blocks=(1, 1, 1, 1), widths=(4, 4, 4, 4))
+
+    m = mlt_cnn.create_model("ResNetO", **small)
+    v = m.init(jax.random.PRNGKey(0), x1, poc, qp, train=False)
+    out = m.apply(v, x1, poc, qp, train=False)
+    assert out.shape == (2, 4)
+
+    m2 = mlt_cnn.create_model("ResNetORPQ", **small)
+    v2 = m2.init(jax.random.PRNGKey(0), x2, poc, qp, train=False)
+    assert m2.apply(v2, x2, poc, qp, train=False).shape == (2, 4)
+    # PQ variant's head takes 2 extra inputs
+    w_pq = v2["params"]["head"]["fc"]["kernel"].shape[0]
+    w_no = v["params"]["head"]["fc"]["kernel"].shape[0]
+    assert w_pq == w_no + 2
+
+    m3 = mlt_cnn.create_model("GapBigMltCtuOR", **small)
+    v3 = m3.init(jax.random.PRNGKey(0), x2, poc, qp, train=False)
+    l1, l2, l3 = m3.apply(v3, x2, poc, qp, train=False)
+    assert (l1.shape, l2.shape, l3.shape) == ((2, 2), (2, 3), (2, 4))
