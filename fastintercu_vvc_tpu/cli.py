@@ -107,6 +107,12 @@ def _encode(args) -> int:
         print(f"no frames read from {args.input}", file=sys.stderr)
         return 1
 
+    # stats collection needs the final-entropy replay (two_pass) so the
+    # op stream exists to account; blockstats rides the same flag
+    stats_on = args.stats or args.blockstats
+    enc_kwargs = dict(collect_stats=True, two_pass=True) if stats_on \
+        else {}
+
     t0 = time.perf_counter()
     if args.batched:
         # TPU-first pipeline: batched whole-frame search (intra level
@@ -144,7 +150,8 @@ def _encode(args) -> int:
                                         depth + 4)
         se = gop.RandomAccessEncoder(
             cfg, gop_size=args.gop, hierarchical_qp=True,
-            intra_period=args.intra_period, me_range=args.me_range)
+            intra_period=args.intra_period, me_range=args.me_range,
+            **enc_kwargs)
         res = se.encode(frames, qp=args.qp)
     else:
         rc = None
@@ -154,7 +161,8 @@ def _encode(args) -> int:
                                 args.width, args.height)
         se = gop.SequenceEncoder(cfg, intra_period=args.intra_period,
                                  me_range=args.me_range,
-                                 num_refs=args.refs, rate_control=rc)
+                                 num_refs=args.refs, rate_control=rc,
+                                 **enc_kwargs)
         res = se.encode(frames, qp=None if rc else args.qp)
     dt = time.perf_counter() - t0
 
@@ -187,6 +195,22 @@ def _encode(args) -> int:
         psnr = f" psnr-y {e['psnr_y']:.2f}" if "psnr_y" in e else ""
         print(f"  {t}-slices: {e['frames']:3d} frames, "
               f"avg {e['avg_bits']:.0f} bits{psnr}")
+
+    if stats_on:
+        fe = getattr(se, "frame_encoder", None)
+        if fe is None or fe.bit_accounting is None:
+            print("stats: not available on this encode path",
+                  file=sys.stderr)
+        else:
+            if args.stats:
+                from .utils import bitacct
+                print(bitacct.format_report(fe.bit_accounting,
+                                            total_bits))
+            if args.blockstats:
+                from .utils import blockstats
+                blockstats.dump_sequence(args.blockstats, fe.maps_log,
+                                         args.width, args.height)
+                print(f"block statistics -> {args.blockstats}")
     return 0
 
 
@@ -272,6 +296,12 @@ def main(argv=None) -> int:
                    help="write a JSONL encode trace to this path")
     e.add_argument("--trace-channels", default=None,
                    help="comma list: frame,cu,sao,rc (default all)")
+    e.add_argument("--stats", action="store_true",
+                   help="print per-syntax-element bit accounting "
+                        "(CodingStatistics-style) after the encode")
+    e.add_argument("--blockstats", default=None, metavar="FILE",
+                   help="write per-CU mode/MV block statistics "
+                        "(YUView BlockStat format)")
     e.set_defaults(fn=_encode)
 
     n = sub.add_parser("nals", help="list NAL units of a stream "

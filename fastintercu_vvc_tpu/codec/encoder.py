@@ -384,9 +384,12 @@ class FrameEncoder:
         self.two_pass = two_pass
         self.batched_me = batched_me
         # per-syntax bit accounting (utils.bitacct; VTM
-        # CodingStatistics.h:50 analogue) — filled per frame when on
+        # CodingStatistics.h:50 analogue) — accumulated across frames
+        # when on; maps_log keeps each frame's SoA CU maps for block
+        # statistics export (utils.blockstats)
         self.collect_stats = collect_stats
         self.bit_accounting = None
+        self.maps_log = []
         # arbitrary picture sizes: dims need only be a multiple of
         # max(8, minCU) (spec constraint on pps_pic_*_in_luma_samples);
         # CTU-border overhang is handled by implicit splits
@@ -741,9 +744,7 @@ class FrameEncoder:
             if use_native:
                 ops = enc.to_array()
                 if self.collect_stats:
-                    from ..utils import bitacct
-                    self.bit_accounting = bitacct.account_ops(
-                        ops, bank.copy())
+                    self._account(ops, bank)
                 payload, tail = native.cabac_run(ops, bank)
             else:
                 payload, tail = enc.finish(), enc.tail_bits()
@@ -862,6 +863,10 @@ class FrameEncoder:
                                  m.ref_poc.copy(),
                                  m.mv1 - m.dmvr_d,
                                  m.ref_poc1.copy())
+        if self.collect_stats:
+            # maps is rebuilt per frame, so keeping the reference is a
+            # cheap per-frame snapshot for blockstats export
+            self.maps_log.append((poc, self.maps))
         return FrameResult(bs, self.recon, len(bs) * 8, cu_map,
                            (self.maps.inter_dir > 0).copy(),
                            self.recon_cb if self.chroma else None,
@@ -893,6 +898,17 @@ class FrameEncoder:
             if cc is not None:
                 alf_ops.write_ccalf_ctu(enc, ci, cc[1], rx, ry)
 
+    def _account(self, ops, bank):
+        """Fold one slice's op stream into the cumulative per-syntax
+        bit accounting (collect_stats mode)."""
+        from ..utils import bitacct
+        acct = bitacct.account_ops(ops, bank.copy())
+        if self.bit_accounting is None:
+            self.bit_accounting = acct
+        else:
+            for k, v in acct.items():
+                self.bit_accounting[k] = self.bit_accounting.get(k, 0.0) + v
+
     def _replay_frame(self, ctx_slice, sao_params=None, alf_dec=None):
         cfg = self.cfg
         H, W = self.org.shape
@@ -923,9 +939,7 @@ class FrameEncoder:
         if use_native:
             ops = enc.to_array()
             if self.collect_stats:
-                from ..utils import bitacct
-                self.bit_accounting = bitacct.account_ops(ops,
-                                                          bank.copy())
+                self._account(ops, bank)
             return native.cabac_run(ops, bank)
         return enc.finish(), enc.tail_bits()
 
