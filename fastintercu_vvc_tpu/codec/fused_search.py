@@ -78,9 +78,15 @@ class FusedDecisions:
         nby, nbx = lv["imode"].shape
         by, bx = min(by, nby - 1), min(bx, nbx - 1)
         if "inter" in lv and lv["inter"][by, bx]:
-            return ("inter", (int(lv["lst"][by, bx]), 0,
-                              int(lv["mvx"][by, bx]),
-                              int(lv["mvy"][by, bx])))
+            return ("inter", {
+                "dir": int(lv["dir"][by, bx]),
+                "ref0": int(lv["ref0"][by, bx]),
+                "mv0": (int(lv["mv0x"][by, bx]),
+                        int(lv["mv0y"][by, bx])),
+                "ref1": int(lv["ref1"][by, bx]),
+                "mv1": (int(lv["mv1x"][by, bx]),
+                        int(lv["mv1y"][by, bx])),
+                "mlike": bool(lv["mlike"][by, bx])})
         return int(lv["imode"][by, bx])
 
 
@@ -179,68 +185,6 @@ def _intra_leaf_device(plane, classes):
     return jnp.concatenate(idx_parts), jnp.concatenate(cost_parts)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _sad8_map(org, ref, sr):
-    """[K, nby8, nbx8] int32: SAD of every 8x8 block at every integer
-    displacement in [-sr, sr]^2 (K = (2sr+1)^2, row-major dy then dx).
-    Larger geometries aggregate these — one search feeds all classes."""
-    H, W = org.shape
-    pad = jnp.pad(ref, sr, mode="edge")
-    offs = jnp.arange(-sr, sr + 1)
-    dyx = jnp.stack(jnp.meshgrid(offs, offs, indexing="ij"),
-                    -1).reshape(-1, 2)
-
-    def sad_of(off):
-        win = jax.lax.dynamic_slice(pad, (sr + off[0], sr + off[1]),
-                                    (H, W))
-        d = jnp.abs(org.astype(jnp.int32) - win.astype(jnp.int32))
-        return d.reshape(H // 8, 8, W // 8, 8).sum(axis=(1, 3))
-
-    return jax.lax.map(sad_of, dyx)
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _inter_leaf_device(org, sad8, padrefs, classes, sr):
-    """Packed per-class inter leg over R references.
-
-    sad8: [R, K, nby8, nbx8] from _sad8_map per reference.
-    padrefs: [R, H+2sr, W+2sr].
-    For each class: aggregate 8x8 SADs into (w, h) tiles, argmin over
-    (ref, displacement), then SATD of the chosen integer-pel MC.
-    -> int32 vector (per class: ref_sel N, disp_idx N),
-       float32 vector (per class: mc_satd N).
-    """
-    H, W = org.shape
-    side = 2 * sr + 1
-    idx_parts, cost_parts = [], []
-    for (w, h) in classes:
-        fh, fw = h // 8, w // 8
-        nby, nbx = H // h, W // w
-        agg = sad8.reshape(sad8.shape[0], sad8.shape[1],
-                           nby, fh, nbx, fw).sum(axis=(3, 5))
-        agg = agg.reshape(-1, nby, nbx)                  # [R*K, nby, nbx]
-        flat_best = jnp.argmin(agg, axis=0)
-        K = sad8.shape[1]
-        ref_sel = (flat_best // K).astype(jnp.int32)
-        disp = (flat_best % K).astype(jnp.int32)
-        dy = disp // side - sr
-        dx = disp % side - sr
-        # integer-pel MC gather from the selected reference
-        ys = (jnp.arange(nby) * h)[:, None, None, None]
-        xs = (jnp.arange(nbx) * w)[None, :, None, None]
-        ii = jnp.arange(h)[None, None, :, None]
-        jj = jnp.arange(w)[None, None, None, :]
-        rows = ys + dy[:, :, None, None] + sr + ii
-        cols = xs + dx[:, :, None, None] + sr + jj
-        pred = padrefs[ref_sel[:, :, None, None], rows, cols]
-        blocks = org.reshape(nby, h, nbx, w).swapaxes(1, 2)
-        msatd = _satd_nd(blocks, pred, w, h)             # [nby, nbx]
-        idx_parts.append(ref_sel.reshape(-1))
-        idx_parts.append(disp.reshape(-1))
-        cost_parts.append(msatd.reshape(-1).astype(jnp.float32))
-    return jnp.concatenate(idx_parts), jnp.concatenate(cost_parts)
-
-
 # ---------------------------------------------------------------------------
 # host: leaf costs -> DP -> decision walk
 
@@ -253,25 +197,20 @@ def _pad_to_ctu(plane: np.ndarray, cs: int) -> np.ndarray:
     return plane
 
 
-def _mv_rate(dy, dx, fb):
-    """mvd bits vs a causal left-neighbor predictor (col 0 predicts
-    zero), vectorized per class grid. Quarter-pel units from int-pel."""
-    pdx = np.concatenate([np.zeros_like(dx[:, :1]), dx[:, :-1]], axis=1)
-    pdy = np.concatenate([np.zeros_like(dy[:, :1]), dy[:, :-1]], axis=1)
-    return bitest.mvd_bits((dx - pdx) * 4, (dy - pdy) * 4, fb)
-
-
 def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                  slice_type: int = hls.I_SLICE,
                  ref_planes=(),
                  split_hints: np.ndarray | None = None,
                  me_range: int = 16, max_bt_depth: int = 2,
-                 mesh=None) -> FusedDecisions:
+                 mesh=None, col_fields=None) -> FusedDecisions:
     """Whole-frame fused QT+BT search.
 
     ref_planes: [(lst, ridx, plane)] reconstructed reference planes to
-    search (typically L0/0 and L1/0; the commit leaf refines sub-pel
-    and RD-compares against merge candidates).
+    search. The inter leg (ops/me_frame) refines sub-pel, screens
+    predictor-like candidates and bi-prediction on device, so the
+    commit pass takes the decisions as-is.
+    col_fields: optional per-ref_planes-entry (mv_field [H8, W8, 2],
+    valid [H8, W8]) collocated-MV candidates (TMVP analog).
     split_hints: per-CTU [nCtuY, nCtuX] int array, -1 = no hint, else
     the MLT-CNN class {0: no-split, 1: QT, 2: BT_H, 3: BT_V}.
     mesh: optional jax.sharding.Mesh — the intra sweep and the SAD map
@@ -298,17 +237,11 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     inter_slice = slice_type != hls.I_SLICE and ref_planes
     scale = float(1 << bitest.SCALE_BITS)
     if inter_slice:
-        # per-leaf signalling overhead beyond mvd: merge_flag=0,
-        # mvp flag, ref/inter_dir bins (approx from init states)
-        inter_over = (fb[ctx_ids.MergeFlag[0], 0]
-                      + fb[ctx_ids.MVPIdx[0], 0]) / scale + 1.0
         pred_mode_i = fb[ctx_ids.PredMode[0], 1] / scale   # intra in P/B
         pred_mode_p = fb[ctx_ids.PredMode[0], 0] / scale
         skip0 = fb[ctx_ids.SkipFlag[0], 0] / scale
-        inter_over += skip0
         intra_leaf_bits = intra_bits + pred_mode_i + skip0
     else:
-        inter_over = 0.0
         pred_mode_p = 0.0
         intra_leaf_bits = intra_bits
 
@@ -346,50 +279,41 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     # ---- inter leg (classes with both dims >= 8: the SAD base grid)
     iclasses = tuple(g for g in classes if g[0] >= 8 and g[1] >= 8)
     if inter_slice:
-        sr = int(me_range)
-        pads, s8 = [], []
-        for (_, _, plane) in ref_planes:
+        from ..ops import me_frame
+        refs0, r0map, refs1, r1map = [], [], [], []
+        c0, c1 = [], []
+        for k, (lst, ridx, plane) in enumerate(ref_planes):
             p = _pad_to_ctu(np.asarray(plane, np.int32), cs)
-            if use_mesh is not None:
-                from ..parallel import fused_shard
-                s8.append(jnp.asarray(fused_shard.sharded_sad8_map(
-                    org_p, p, sr, use_mesh)))
+            colf = (col_fields[k] if col_fields is not None
+                    and k < len(col_fields) else None)
+            if lst == 0:
+                refs0.append(p)
+                r0map.append(ridx)
+                if colf is not None:
+                    c0.append(colf)
             else:
-                s8.append(_sad8_map(jorg, jnp.asarray(p), sr))
-            pads.append(jnp.pad(jnp.asarray(p), sr, mode="edge"))
-        sad8 = jnp.stack(s8)
-        padrefs = jnp.stack(pads)
-        ivi, cvi = _inter_leaf_device(jorg, sad8, padrefs, iclasses, sr)
-        ivi = np.asarray(ivi)
-        cvi = np.asarray(cvi)
-        side = 2 * sr + 1
-        ioff = coff = 0
+                refs1.append(p)
+                r1map.append(ridx)
+                if colf is not None:
+                    c1.append(colf)
+        res = me_frame.inter_frame_search(
+            org_p, refs0, refs1, c0, c1, iclasses, qp,
+            sr=int(me_range), bd=10, mesh=use_mesh)
+        r0m = np.asarray(r0map or [0], np.int32)
+        r1m = np.asarray(r1map or [0], np.int32)
         for (w, h) in iclasses:
-            nby, nbx = H // h, W // w
-            n = nby * nbx
-            ref_sel = ivi[ioff:ioff + n].reshape(nby, nbx)
-            disp = ivi[ioff + n:ioff + 2 * n].reshape(nby, nbx)
-            ioff += 2 * n
-            msatd = cvi[coff:coff + n].reshape(nby, nbx) \
-                .astype(np.float64)
-            coff += n
-            dy = disp // side - sr
-            dx = disp % side - sr
-            mvbits = _mv_rate(dy, dx, fb)
+            r = res[(w, h)]
             lv = leaf[(w, h)]
-            pcost = msatd + lam_satd * (mvbits + inter_over
-                                        + pred_mode_p)
+            pcost = r["cost"] + lam_satd * pred_mode_p
             use_inter = pcost < lv["icost"]
             lv["inter"] = use_inter
             lv["cost"] = np.where(use_inter, pcost, lv["icost"])
-            lv["lst"] = np.array([ref_planes[r][0] for r in
-                                  range(len(ref_planes))],
-                                 np.int32)[ref_sel]
-            lv["ridx"] = np.array([ref_planes[r][1] for r in
-                                   range(len(ref_planes))],
-                                  np.int32)[ref_sel]
-            lv["mvx"] = dx * 16
-            lv["mvy"] = dy * 16
+            lv["dir"] = r["dir"]
+            lv["ref0"] = r0m[np.minimum(r["ref0"], len(r0m) - 1)]
+            lv["mv0x"], lv["mv0y"] = r["mv0x"], r["mv0y"]
+            lv["ref1"] = r1m[np.minimum(r["ref1"], len(r1m) - 1)]
+            lv["mv1x"], lv["mv1y"] = r["mv1x"], r["mv1y"]
+            lv["mlike"] = r["mlike"]
         for (w, h) in classes:
             if (w, h) not in iclasses:
                 leaf[(w, h)]["cost"] = leaf[(w, h)]["icost"]
@@ -458,11 +382,15 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         by, bx = y // h, x // w
         if inter_slice and lv.get("inter") is not None \
                 and lv["inter"][by, bx]:
-            dec_mode[(x, y, w, h)] = (
-                "inter", (int(lv["lst"][by, bx]),
-                          int(lv["ridx"][by, bx]),
-                          int(lv["mvx"][by, bx]),
-                          int(lv["mvy"][by, bx])))
+            dec_mode[(x, y, w, h)] = ("inter", {
+                "dir": int(lv["dir"][by, bx]),
+                "ref0": int(lv["ref0"][by, bx]),
+                "mv0": (int(lv["mv0x"][by, bx]),
+                        int(lv["mv0y"][by, bx])),
+                "ref1": int(lv["ref1"][by, bx]),
+                "mv1": (int(lv["mv1x"][by, bx]),
+                        int(lv["mv1y"][by, bx])),
+                "mlike": bool(lv["mlike"][by, bx])})
         else:
             dec_mode[(x, y, w, h)] = int(lv["imode"][by, bx])
 
@@ -522,8 +450,11 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     for s in squares:
         lv = leaf[(s, s)]
         ent = {"imode": lv["imode"]}
-        if inter_slice:
-            ent.update(inter=lv["inter"], lst=lv["lst"],
-                       mvx=lv["mvx"], mvy=lv["mvy"])
+        if inter_slice and lv.get("inter") is not None:
+            ent.update(inter=lv["inter"], dir=lv["dir"],
+                       ref0=lv["ref0"], mv0x=lv["mv0x"],
+                       mv0y=lv["mv0y"], ref1=lv["ref1"],
+                       mv1x=lv["mv1x"], mv1y=lv["mv1y"],
+                       mlike=lv["mlike"])
         level[s] = ent
     return FusedDecisions(dec_split, dec_mode, level)

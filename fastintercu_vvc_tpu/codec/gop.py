@@ -283,17 +283,47 @@ class RandomAccessEncoder:
         self.search_me_range = enc_kwargs.get("me_range", 16)
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
 
-    def _decisions(self, frm, poc, qp, slice_type, l0=None, l1=None):
+    @staticmethod
+    def _col_candidates(col_res, cur_poc, tgt_ref_poc):
+        """Collocated-MV candidate field for the fused search (TMVP
+        analog, PU::getColocatedMVP scaling): the reference picture's
+        own per-8x8 motion, POC-distance scaled to (cur, tgt_ref).
+        -> (mv [H8, W8, 2] internal units, valid [H8, W8]) or None."""
+        m = getattr(col_res, "motion", None)
+        if m is None:
+            return None
+        d8 = m.inter_dir[::2, ::2].astype(np.int32)
+        use0 = (d8 & 1) > 0
+        mv = np.where(use0[..., None], m.mv0[::2, ::2],
+                      m.mv1[::2, ::2]).astype(np.int64)
+        rp = np.where(use0, m.ref_poc0[::2, ::2],
+                      m.ref_poc1[::2, ::2])
+        td_col = m.poc - rp
+        td_cur = cur_poc - tgt_ref_poc
+        valid = (d8 > 0) & (td_col != 0) & (rp >= 0)
+        denom = np.where(td_col == 0, 1, td_col)
+        mvs = np.round(mv * (float(td_cur) / denom)[..., None]
+                       ).astype(np.int32)
+        return np.where(valid[..., None], mvs, 0), valid
+
+    def _decisions(self, frm, poc, qp, slice_type, l0=None, l1=None,
+                   l0_poc=None, l1_poc=None):
         """Fused-search decisions for one frame (None = sequential)."""
         if self.search != "fused":
             return None
         from . import fused_search
         luma = frm[0] if isinstance(frm, (tuple, list)) else frm
-        ref_planes = []
+        ref_planes, col_fields = [], []
         if l0 is not None:
             ref_planes.append((0, 0, l0.recon))
+            col_fields.append(
+                self._col_candidates(l0, poc, l0_poc)
+                if l0_poc is not None else None)
         if l1 is not None:
             ref_planes.append((1, 0, l1.recon))
+            col_fields.append(
+                self._col_candidates(l1, poc, l1_poc)
+                if l1_poc is not None else None)
         hints = None
         if self.split_hints_fn is not None:
             hints = self.split_hints_fn(
@@ -302,7 +332,8 @@ class RandomAccessEncoder:
             luma, self.cfg, qp, slice_type=slice_type,
             ref_planes=ref_planes, split_hints=hints,
             me_range=self.search_me_range,
-            max_bt_depth=self.search_bt_depth)
+            max_bt_depth=self.search_bt_depth,
+            col_fields=[c for c in col_fields])
 
     def _gop_coding_order(self, lo: int, hi: int):
         """[(poc, l0_poc, l1_poc, tid)] for the open interval (lo, hi)."""
@@ -380,7 +411,8 @@ class RandomAccessEncoder:
                     slice_type=hls.P_SLICE, refs=[(base, done[base])],
                     decisions=self._decisions(frames[anchor], anchor,
                                               qa, hls.P_SLICE,
-                                              l0=done[base]))
+                                              l0=done[base],
+                                              l0_poc=base))
                 emit(anchor, r, "P")
             for i, (poc, l0, l1, tid) in enumerate(order):
                 # DPB retention: the RPL must list every picture still
@@ -411,7 +443,8 @@ class RandomAccessEncoder:
                     temporal_id=tid,
                     decisions=self._decisions(frames[poc], poc, qb,
                                               hls.B_SLICE,
-                                              l0=done[l0], l1=done[l1]))
+                                              l0=done[l0], l1=done[l1],
+                                              l0_poc=l0, l1_poc=l1))
                 emit(poc, r, "B")
             base = anchor
 

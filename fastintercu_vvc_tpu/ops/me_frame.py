@@ -1,0 +1,427 @@
+"""Whole-frame batched inter mode search — honest per-leaf costs.
+
+The reference evaluates inter modes per CU inside the recursive RDO
+(EncCu.cpp:541-1087): a merge SATD prepass over the candidate list
+(EncCu.cpp:2435), TZ integer search + fractional refinement
+(InterSearch.cpp:3299/4283), and bi-prediction.  Here the SAME
+ingredients are evaluated for EVERY block of EVERY geometry class of a
+frame in one jitted device pass (SURVEY.md §7.1 "batch, don't
+recurse"):
+
+  1. integer-pel field: one 8x8-granularity SAD map per reference
+     (aggregated per class) plus a quarter-resolution coarse map that
+     extends the effective range 4x (TZ raster-search analog);
+  2. candidate screen per block: {int-best, coarse-best, zero,
+     collocated (TMVP analog), left/top neighbor MVs} x references,
+     costed by exact-tap MC SATD + estimated rate (merge-idx bits for
+     the predictor-like candidates, mvd bits for the searched ones);
+  3. half- then quarter-pel refinement of the searched winner with the
+     real 8-tap interpolation (xPatternSearchFracDIF analog);
+  4. bi-prediction of the per-list winners (average, as the SATD
+     screen in InterSearch does before BDOF/DMVR).
+
+Outputs per class: cost + a full motion decision (inter_dir, per-list
+ref + 1/16-pel MV, and whether the winner is predictor-like so the
+commit pass can map it onto the exact merge list).  The commit pass
+(codec/encoder._forced_inter_leaf) does no screening of its own.
+
+Interpolation note: the generic separable two-pass path is used for
+all fractional positions (taps are per-block gathers, so one fused
+kernel serves every MV); integer and pure-frac positions differ from
+the normative single-pass rounding by at most 1 LSB — fine for search
+costs, and the commit pass regenerates normative predictions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import rdcost
+from .inter import (LUMA_FILTER, IF_INTERNAL_PREC, IF_FILTER_PREC,
+                    IF_INTERNAL_OFFS)
+
+# gather-window safety margin: candidate MVs are clipped to +-MAXMV_INT
+# integer pels (coarse map reaches +-4*sr; collocated MVs arbitrary)
+PAD = 80
+MAXMV_INT = PAD - 5
+
+
+def _clip_mv(mv):
+    lim = MAXMV_INT << 4
+    return jnp.clip(mv, -lim, lim)
+
+
+def mc_frac_batch(pads, ref_sel, py, px, mvx, mvy, h, w, bd=10):
+    """Batched luma MC: [N] blocks, per-block reference + 1/16-pel MV.
+
+    pads: [R, Hp, Wp] edge-padded (PAD) reference planes.
+    py/px: block origins in padded coordinates ([N]).
+    -> [N, h, w] int32 pel-domain prediction.
+    """
+    ix = px + (mvx >> 4) - 3
+    iy = py + (mvy >> 4) - 3
+    fx = mvx & 15
+    fy = mvy & 15
+    rows = iy[:, None] + jnp.arange(h + 7)[None, :]
+    cols = ix[:, None] + jnp.arange(w + 7)[None, :]
+    win = pads[ref_sel[:, None, None], rows[:, :, None],
+               cols[:, None, :]].astype(jnp.int32)
+    head = IF_INTERNAL_PREC - bd
+    shift1 = IF_FILTER_PREC - head
+    off1 = -IF_INTERNAL_OFFS << shift1
+    shift2 = IF_FILTER_PREC + head
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+    taps = jnp.asarray(LUMA_FILTER)
+    tx = taps[fx]                                     # [N, 8]
+    ty = taps[fy]
+    tmp = sum(win[:, :, k:k + w] * tx[:, k, None, None]
+              for k in range(8))
+    tmp = (tmp + off1) >> shift1
+    acc = sum(tmp[:, k:k + h, :] * ty[:, k, None, None]
+              for k in range(8))
+    out = (acc + off2) >> shift2
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def _satd_c(a, b, w, h):
+    if w >= 8 and h >= 8:
+        return rdcost.satd(a, b)
+    return rdcost.satd4(a, b)
+
+
+def _mvd_bits_j(d):
+    """Estimated CABAC bits of one quarter-pel mvd component
+    (abs_mvd_greater0/1 flags + EG1 + sign; CABACWriter::mvd_coding)."""
+    a = jnp.abs(d).astype(jnp.float32)
+    eg = jnp.where(a >= 2.0,
+                   2.0 * jnp.floor(jnp.log2(jnp.maximum(a, 2.0))) + 1.0,
+                   0.0)
+    return jnp.where(a == 0, 1.0, 2.0 + 1.0 + eg)
+
+
+def _mv_bits(mvx, mvy, pmx, pmy):
+    """mvd rate in quarter-pel vs a predictor (internal 1/16 input)."""
+    dx = ((mvx - pmx) + 2) >> 2
+    dy = ((mvy - pmy) + 2) >> 2
+    return _mvd_bits_j(dx) + _mvd_bits_j(dy)
+
+
+# ---------------------------------------------------------------------------
+# SAD maps
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def sad_map(org, ref, sr, bs=8):
+    """[K, nby, nbx] int32: SAD of every aligned bs x bs block at every
+    integer displacement in [-sr, sr]^2 (K = (2sr+1)^2, dy-major)."""
+    H, W = org.shape
+    pad = jnp.pad(ref, sr, mode="edge")
+    offs = jnp.arange(-sr, sr + 1)
+    dyx = jnp.stack(jnp.meshgrid(offs, offs, indexing="ij"),
+                    -1).reshape(-1, 2)
+
+    def sad_of(off):
+        win = jax.lax.dynamic_slice(pad, (sr + off[0], sr + off[1]),
+                                    (H, W))
+        d = jnp.abs(org.astype(jnp.int32) - win.astype(jnp.int32))
+        return d.reshape(H // bs, bs, W // bs, bs).sum(axis=(1, 3))
+
+    return jax.lax.map(sad_of, dyx)
+
+
+def _downsample4(p):
+    H, W = p.shape
+    return ((p.astype(jnp.int32)
+             .reshape(H // 4, 4, W // 4, 4).sum(axis=(1, 3)) + 8) >> 4)
+
+
+def _best_from_map(smap, sr):
+    """[R, K, nby, nbx] -> (ref [nby,nbx], dy, dx, cost) over refs and
+    displacements."""
+    R, K = smap.shape[0], smap.shape[1]
+    side = 2 * sr + 1
+    flat = smap.reshape(R * K, smap.shape[2], smap.shape[3])
+    idx = jnp.argmin(flat, axis=0)
+    cost = jnp.min(flat, axis=0)
+    ref = (idx // K).astype(jnp.int32)
+    disp = (idx % K).astype(jnp.int32)
+    dy = disp // side - sr
+    dx = disp % side - sr
+    return ref, dy, dx, cost
+
+
+def _agg_map(sad8, nby, fh, nbx, fw):
+    """Aggregate the 8x8-granularity map into class tiles."""
+    R, K = sad8.shape[0], sad8.shape[1]
+    return sad8.reshape(R, K, nby, fh, nbx, fw).sum(axis=(3, 5))
+
+
+# ---------------------------------------------------------------------------
+# the per-frame search kernel
+
+
+def _list_leg(org, pads, sad8, coarse_field, col_field, col_valid,
+              w, h, sr, bd, lam, n_ref, ref_bits):
+    """One reference list for one class: candidate screen + refinement.
+
+    coarse_field: [nc y, nc x, 3] (ref, dy4, dx4) best from the coarse
+    map at 32x32 granularity, full-res integer pels.
+    col_field/col_valid: [n_ref, H8, W8, 2] / [n_ref, H8, W8]
+    collocated candidates (internal units) per target ref.
+    -> dict(mv [N,2] internal, ref [N], cost [N], bits [N], mlike [N],
+            pred [N,h,w])
+    """
+    H, W = org.shape
+    nby, nbx = H // h, W // w
+    N = nby * nbx
+    blocks = (org.reshape(nby, h, nbx, w).swapaxes(1, 2)
+              .reshape(N, h, w))
+    py = (jnp.arange(nby) * h)[:, None].repeat(nbx, 1).reshape(-1) + PAD
+    px = (jnp.arange(nbx) * w)[None, :].repeat(nby, 0).reshape(-1) + PAD
+
+    # integer best per class tile (over refs)
+    agg = _agg_map(sad8, nby, h // 8, nbx, w // 8)
+    ref_i, dy_i, dx_i, _ = _best_from_map(agg, sr)
+    mv_int = jnp.stack([dx_i << 4, dy_i << 4], -1).reshape(N, 2)
+    ref_int = ref_i.reshape(N)
+
+    # neighbor predictors from the int-best field (spatial merge analog)
+    mvf = jnp.stack([dx_i << 4, dy_i << 4], -1)        # [nby, nbx, 2]
+    left = jnp.concatenate([mvf[:, :1], mvf[:, :-1]], axis=1)
+    top = jnp.concatenate([mvf[:1, :], mvf[:-1, :]], axis=0)
+    reff = ref_i
+    left_r = jnp.concatenate([reff[:, :1], reff[:, :-1]], axis=1)
+    top_r = jnp.concatenate([reff[:1, :], reff[:-1, :]], axis=0)
+
+    # coarse (extended-range) candidate: 32x32-granularity field lookup
+    cy = jnp.minimum((jnp.arange(nby) * h + h // 2) // 32,
+                     coarse_field.shape[0] - 1)
+    cx = jnp.minimum((jnp.arange(nbx) * w + w // 2) // 32,
+                     coarse_field.shape[1] - 1)
+    cf = coarse_field[cy[:, None], cx[None, :]]        # [nby, nbx, 3]
+    mv_coarse = jnp.stack([cf[..., 2] << 4, cf[..., 1] << 4],
+                          -1).reshape(N, 2)
+    ref_coarse = cf[..., 0].reshape(N).astype(jnp.int32)
+
+    # collocated candidate (target ref 0)
+    gy = jnp.minimum((jnp.arange(nby) * h + h // 2) // 8,
+                     col_field.shape[1] - 1)
+    gx = jnp.minimum((jnp.arange(nbx) * w + w // 2) // 8,
+                     col_field.shape[2] - 1)
+    mv_col = col_field[0][gy[:, None], gx[None, :]].reshape(N, 2)
+    ok_col = col_valid[0][gy[:, None], gx[None, :]].reshape(N)
+
+    zeros = jnp.zeros((N, 2), jnp.int32)
+    z32 = jnp.zeros((N,), jnp.int32)
+
+    cand_mv = jnp.stack([mv_int, mv_coarse, zeros, mv_col,
+                         left.reshape(N, 2), top.reshape(N, 2)], 1)
+    cand_mv = _clip_mv(cand_mv)
+    cand_ref = jnp.stack([ref_int, ref_coarse, z32, z32,
+                          left_r.reshape(N), top_r.reshape(N)], 1)
+    C = cand_mv.shape[1]
+
+    # pred + SATD for every candidate
+    flat_mv = cand_mv.reshape(N * C, 2)
+    flat_ref = cand_ref.reshape(N * C)
+    fpy = jnp.repeat(py, C)
+    fpx = jnp.repeat(px, C)
+    preds = mc_frac_batch(pads, flat_ref, fpy, fpx,
+                          flat_mv[:, 0], flat_mv[:, 1], h, w, bd)
+    satd = _satd_c(preds.reshape(N, C, h, w),
+                   blocks[:, None], w, h).astype(jnp.float32)
+
+    # rates: searched candidates pay mvd vs the left predictor;
+    # predictor-like candidates pay merge-flag + merge-idx bits
+    pmx = left.reshape(N, 2)[:, 0]
+    pmy = left.reshape(N, 2)[:, 1]
+    mvb = _mv_bits(cand_mv[..., 0], cand_mv[..., 1],
+                   pmx[:, None], pmy[:, None])
+    amvp_over = 5.0 + ref_bits * (cand_ref > 0)
+    rate_amvp = mvb + amvp_over
+    mrank = jnp.asarray([0., 0., 1., 2., 3., 4.], jnp.float32)
+    rate_merge = 1.0 + 1.0 + mrank[None, :]
+    is_pred_like = jnp.asarray([False, False, True, True, True, True])
+    rate = jnp.where(is_pred_like[None, :], rate_merge, rate_amvp)
+    # an invalid collocated candidate must not win
+    bad = jnp.zeros((N, C), bool).at[:, 3].set(~ok_col)
+    cost = satd + lam * rate + jnp.where(bad, 1e18, 0.0)
+
+    best_c = jnp.argmin(cost, axis=1)
+    bsel = (jnp.arange(N), best_c)
+    best_mv = cand_mv[bsel]
+    best_ref = cand_ref[bsel]
+    best_cost = cost[bsel]
+    best_mlike = is_pred_like[best_c]
+    best_pred = preds.reshape(N, C, h, w)[bsel]
+    best_bits = rate[bsel]
+
+    # fractional refinement of the searched winner (half then quarter);
+    # keeps the merge-like winner untouched so the commit pass can map
+    # it onto the exact merge candidate list
+    ref_mv, ref_cost, ref_pred = best_mv, best_cost, best_pred
+    for step in (8, 4):
+        offs = jnp.asarray(
+            [(0, 0), (-step, 0), (step, 0), (0, -step), (0, step),
+             (-step, -step), (step, step), (-step, step),
+             (step, -step)], jnp.int32)
+        P = offs.shape[0]
+        rmv = _clip_mv(ref_mv[:, None, :] + offs[None])     # [N, P, 2]
+        fmv = rmv.reshape(N * P, 2)
+        rpred = mc_frac_batch(pads, jnp.repeat(best_ref, P),
+                              jnp.repeat(py, P), jnp.repeat(px, P),
+                              fmv[:, 0], fmv[:, 1], h, w, bd)
+        rsatd = _satd_c(rpred.reshape(N, P, h, w), blocks[:, None],
+                        w, h).astype(jnp.float32)
+        rbits = _mv_bits(rmv[..., 0], rmv[..., 1],
+                         pmx[:, None], pmy[:, None]) + 5.0 \
+            + ref_bits * (best_ref[:, None] > 0)
+        rcost = rsatd + lam * rbits
+        rbest = jnp.argmin(rcost, axis=1)
+        rs = (jnp.arange(N), rbest)
+        ref_mv = rmv[rs]
+        ref_cost = rcost[rs]
+        ref_pred = rpred.reshape(N, P, h, w)[rs]
+
+    take_ref = (~best_mlike) & (ref_cost < best_cost)
+    out_mv = jnp.where(take_ref[:, None], ref_mv, best_mv)
+    out_cost = jnp.where(take_ref, ref_cost, best_cost)
+    out_pred = jnp.where(take_ref[:, None, None], ref_pred, best_pred)
+    out_bits = jnp.where(
+        take_ref,
+        _mv_bits(ref_mv[:, 0], ref_mv[:, 1], pmx, pmy) + 5.0
+        + ref_bits * (best_ref > 0),
+        best_bits)
+    return {"mv": out_mv, "ref": best_ref, "cost": out_cost,
+            "bits": out_bits, "mlike": best_mlike, "pred": out_pred,
+            "blocks": blocks}
+
+
+def _search_device_body(org, pads0, pads1, sad8_0, sad8_1,
+                        coarse0, coarse1, col0, col0_ok, col1, col1_ok,
+                        lam, classes, sr, bd, n0, n1):
+    H, W = org.shape
+    iv_parts, cv_parts = [], []
+    for (w, h) in classes:
+        l0 = _list_leg(org, pads0, sad8_0, coarse0, col0, col0_ok,
+                       w, h, sr, bd, lam, n0, 1.0)
+        if n1 > 0:
+            l1 = _list_leg(org, pads1, sad8_1, coarse1, col1, col1_ok,
+                           w, h, sr, bd, lam, n1, 1.0)
+            # bi: average of per-list winners (SATD screen analog);
+            # inter_dir overhead ~2 bits
+            bi_pred = (l0["pred"].astype(jnp.int32)
+                       + l1["pred"].astype(jnp.int32) + 1) >> 1
+            bi_satd = _satd_c(bi_pred, l0["blocks"], w, h
+                              ).astype(jnp.float32)
+            bi_bits = l0["bits"] + l1["bits"] + 2.0
+            bi_cost = bi_satd + lam * bi_bits
+            costs = jnp.stack([l0["cost"], l1["cost"], bi_cost], 1)
+            which = jnp.argmin(costs, axis=1)
+            N = which.shape[0]
+            dir_ = jnp.where(which == 0, 1,
+                             jnp.where(which == 1, 2, 3)).astype(
+                jnp.int32)
+            mlike = jnp.where(
+                which == 0, l0["mlike"],
+                jnp.where(which == 1, l1["mlike"],
+                          l0["mlike"] & l1["mlike"]))
+            cost = costs[(jnp.arange(N), which)]
+            iv = [dir_, l0["ref"], l0["mv"][:, 0], l0["mv"][:, 1],
+                  l1["ref"], l1["mv"][:, 0], l1["mv"][:, 1],
+                  mlike.astype(jnp.int32)]
+        else:
+            N = l0["cost"].shape[0]
+            dir_ = jnp.ones((N,), jnp.int32)
+            z = jnp.zeros((N,), jnp.int32)
+            cost = l0["cost"]
+            iv = [dir_, l0["ref"], l0["mv"][:, 0], l0["mv"][:, 1],
+                  z, z, z, l0["mlike"].astype(jnp.int32)]
+        iv_parts.append(jnp.stack(iv, 0).reshape(-1))
+        cv_parts.append(cost)
+    return jnp.concatenate(iv_parts), jnp.concatenate(cv_parts)
+
+
+_search_device = jax.jit(_search_device_body,
+                         static_argnums=(12, 13, 14, 15, 16))
+
+
+def _coarse_best(org, refs, sr):
+    """Quarter-resolution SAD search -> [ncy, ncx, 3] (ref, dy, dx)
+    best full-res integer displacement at 32x32 granularity."""
+    org4 = _downsample4(org)
+    maps = jnp.stack([sad_map(org4, _downsample4(r), sr) for r in refs])
+    ref, dy, dx, _ = _best_from_map(maps, sr)
+    return jnp.stack([ref, dy * 4, dx * 4], -1)
+
+
+def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
+                       classes, qp: int, sr: int = 16,
+                       bd: int = 10, mesh=None):
+    """Run the whole-frame inter search.
+
+    org_p: CTU-padded luma. refs0/refs1: [plane, ...] per list.
+    col0/col1: per target-ref [(field [H8, W8, 2], valid [H8, W8])]
+    collocated candidates (internal 1/16 units), or [] for none.
+    -> {(w, h): dict(cost, dir, ref0, mv0, ref1, mv1, mlike)} (numpy).
+    """
+    H, W = org_p.shape
+    lam = float(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    jorg = jnp.asarray(org_p)
+
+    def prep(refs):
+        pads = jnp.stack([jnp.pad(jnp.asarray(r), PAD, mode="edge")
+                          for r in refs])
+        if mesh is not None:
+            from ..parallel import fused_shard
+            s8 = jnp.stack([jnp.asarray(fused_shard.sharded_sad8_map(
+                org_p, np.asarray(r), sr, mesh)) for r in refs])
+        else:
+            s8 = jnp.stack([sad_map(jorg, jnp.asarray(r), sr)
+                            for r in refs])
+        coarse = _coarse_best(jorg, [jnp.asarray(r) for r in refs], sr)
+        return pads, s8, coarse
+
+    def prep_col(col, n):
+        h8, w8 = H // 8, W // 8
+        if col:
+            f = jnp.stack([jnp.asarray(c[0], jnp.int32) for c in col])
+            v = jnp.stack([jnp.asarray(c[1], bool) for c in col])
+        else:
+            f = jnp.zeros((max(n, 1), h8, w8, 2), jnp.int32)
+            v = jnp.zeros((max(n, 1), h8, w8), bool)
+        return f, v
+
+    pads0, s80, c0 = prep(refs0)
+    if refs1:
+        pads1, s81, c1 = prep(refs1)
+    else:
+        pads1, s81, c1 = pads0, s80, c0
+    cf0, cv0 = prep_col(col0, len(refs0))
+    cf1, cv1 = prep_col(col1, len(refs1))
+
+    iv, cv = _search_device(jorg, pads0, pads1, s80, s81, c0, c1,
+                            cf0, cv0, cf1, cv1, lam,
+                            tuple(classes), sr, bd,
+                            len(refs0), len(refs1))
+    iv = np.asarray(iv)
+    cv = np.asarray(cv)
+    out = {}
+    ioff = coff = 0
+    for (w, h) in classes:
+        nby, nbx = H // h, W // w
+        n = nby * nbx
+        f = iv[ioff:ioff + 8 * n].reshape(8, nby, nbx)
+        ioff += 8 * n
+        out[(w, h)] = {
+            "cost": cv[coff:coff + n].reshape(nby, nbx)
+            .astype(np.float64),
+            "dir": f[0], "ref0": f[1], "mv0x": f[2], "mv0y": f[3],
+            "ref1": f[4], "mv1x": f[5], "mv1y": f[6],
+            "mlike": f[7].astype(bool)}
+        coff += n
+    return out
