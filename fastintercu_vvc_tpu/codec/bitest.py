@@ -164,16 +164,18 @@ class SplitRate:
             return self.d
 
     def costs(self, w: int, h: int, qt_depth: int, mtt_depth: int,
-              last_split: int = 1) -> dict:
+              last_split: int = 1, tt_mid: int | None = None) -> dict:
         """-> {split_mode: bits} for every legal split of this
-        geometry (partition.can_split legality, interior block)."""
+        geometry (partition.can_split legality, interior block).
+        tt_mid: BT_H/BT_V when the node is the middle child of a TT in
+        that direction (parallel-TT restriction)."""
         from . import partition
-        key = (w, h, qt_depth, mtt_depth, last_split)
+        key = (w, h, qt_depth, mtt_depth, last_split, tt_mid)
         hit = self._cache.get(key)
         if hit is not None:
             return hit
         cans = partition.can_split(w, h, qt_depth, mtt_depth, self.pc,
-                                   last_split)
+                                   last_split, tt_mid)
         ctxs = partition.split_ctx(self._Neutral(w, h, qt_depth),
                                    w, h, w, h, qt_depth, mtt_depth, cans)
         names = [partition.NO_SPLIT, partition.QT_SPLIT, partition.BT_H,

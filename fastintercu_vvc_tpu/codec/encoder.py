@@ -561,6 +561,9 @@ class FrameEncoder:
         self.maps = _Maps(W, H)
         self._dmvr_cache: dict = {}
         self.cu_log: dict = {}       # (x, y) -> (kind, trial) at commit
+        # (x, y, w, h) -> split chosen at commit (decisions path); the
+        # replay pass follows it to rebuild the exact tree
+        self.split_log: dict = {}
         self.hmvp: list[inter.MotionInfo] = []
         # batched integer-ME hints: one whole-frame device search per
         # reference (ops/me_batch); the per-CU Python ME then only
@@ -1079,11 +1082,20 @@ class FrameEncoder:
         options = [(partition.QT_SPLIT, can_qt), (partition.BT_H, can_bh),
                    (partition.BT_V, can_bv), (partition.TT_H, can_th),
                    (partition.TT_V, can_tv)]
+        # the commit pass logs its split per node (split_log) — follow
+        # it when present; greedy geometry-fit alone can pick a
+        # BT chain where the commit used TT and then exhaust the MTT
+        # depth budget further down
+        logged = self.split_log.get((x, y, w, h))
         for split, allowed in options:
-            if not allowed:
+            if not allowed or (logged is not None and split != logged):
                 continue
             children = partition.split_children(x, y, w, h, split)
             if not fits(children) or not depth_ok(split, children):
+                continue
+            if logged is None and not self._replay_feasible(
+                    x, y, w, h, qt_depth, mtt_depth, last_split,
+                    tt_mid, ibt, split):
                 continue
             partition.write_split_mode(self.enc, split, cans, ctxs)
             nibt = ibt + (1 if split in (partition.BT_H, partition.BT_V)
@@ -1103,6 +1115,85 @@ class FrameEncoder:
                                 nibt)
             return
         raise AssertionError(f"replay: no legal split at {(x, y, w, h)}")
+
+    def _replay_feasible(self, x, y, w, h, qt_depth, mtt_depth,
+                         last_split, tt_mid, ibt, split):
+        """Dry-run feasibility of reconstructing the committed CU
+        geometry under `split` (backtracking, no bins written) — used
+        when no split_log entry pins the commit's choice."""
+        m = self.maps
+        pic_h, pic_w = self.org.shape
+
+        def rec(x, y, w, h, qt_depth, mtt_depth, last_split, tt_mid,
+                ibt, force=None):
+            g = (y // 4, x // 4)
+            cans = partition.can_split(w, h, qt_depth, mtt_depth,
+                                       self.pc, last_split, tt_mid,
+                                       x=x, y=y, pic_w=pic_w,
+                                       pic_h=pic_h, ibt=ibt)
+            if force is None and cans[0] and \
+                    (int(m.cu_x0[g]), int(m.cu_y0[g])) == (x, y) and \
+                    int(m.cu_w[g]) == w and int(m.cu_h[g]) == h:
+                return True
+            opts = [(partition.QT_SPLIT, cans[1]),
+                    (partition.BT_H, cans[2]),
+                    (partition.BT_V, cans[3]),
+                    (partition.TT_H, cans[4]),
+                    (partition.TT_V, cans[5])]
+            impl = partition.implicit_split(x, y, w, h, self.pc, pic_w,
+                                            pic_h, last_split,
+                                            mtt_depth, ibt)
+            for sp, ok in opts:
+                if not ok or (force is not None and sp != force):
+                    continue
+                children = partition.split_children(x, y, w, h, sp)
+                bad = False
+                for (cx, cy, cw, chh) in children:
+                    gy1 = min((cy + chh) // 4, m.gh)
+                    gx1 = min((cx + cw) // 4, m.gw)
+                    if gy1 <= cy // 4 or gx1 <= cx // 4:
+                        continue
+                    x0 = m.cu_x0[cy // 4:gy1, cx // 4:gx1]
+                    y0 = m.cu_y0[cy // 4:gy1, cx // 4:gx1]
+                    ww = m.cu_w[cy // 4:gy1, cx // 4:gx1]
+                    hh = m.cu_h[cy // 4:gy1, cx // 4:gx1]
+                    if (x0 < cx).any() or (y0 < cy).any() or \
+                       (x0 + ww > cx + cw).any() or \
+                       (y0 + hh > cy + chh).any():
+                        bad = True
+                        break
+                    q = m.qt_d[cy // 4:gy1, cx // 4:gx1]
+                    if sp == partition.QT_SPLIT:
+                        if not (q > qt_depth).all():
+                            bad = True
+                            break
+                    elif not (q == qt_depth).all():
+                        bad = True
+                        break
+                if bad:
+                    continue
+                nibt = ibt + (1 if sp in (partition.BT_H,
+                                          partition.BT_V)
+                              and sp == impl else 0)
+                sub_ok = True
+                for i, (cx, cy, cw, chh) in enumerate(children):
+                    if cx >= pic_w or cy >= pic_h:
+                        continue
+                    nqt = qt_depth + (sp == partition.QT_SPLIT)
+                    nmt = mtt_depth + (sp != partition.QT_SPLIT)
+                    tm = None
+                    if sp in (partition.TT_H, partition.TT_V) and i == 1:
+                        tm = partition.BT_H if sp == partition.TT_H \
+                            else partition.BT_V
+                    if not rec(cx, cy, cw, chh, nqt, nmt, sp, tm, nibt):
+                        sub_ok = False
+                        break
+                if sub_ok:
+                    return True
+            return False
+
+        return rec(x, y, w, h, qt_depth, mtt_depth, last_split, tt_mid,
+                   ibt, force=split)
 
     # ------------------------------------------------------------------
     def _compress_cu(self, x, y, w, h, qt_depth, mtt_depth, last_split,
@@ -1148,6 +1239,7 @@ class FrameEncoder:
                     chosen = partition.QT_SPLIT if can_qt else impl
                 else:
                     chosen = partition.NO_SPLIT
+            self.split_log[(x, y, w, h)] = chosen
             partition.write_split_mode(enc, chosen, cans, ctxs)
             if chosen != partition.NO_SPLIT:
                 nibt = ibt + (1 if chosen in (partition.BT_H,
@@ -1843,39 +1935,55 @@ class FrameEncoder:
         merge_cands = inter.get_merge_candidates(
             self._mf(), self.hmvp, x, y, w, h, self.n_act0,
             num_l1_refs=self.n_act1, tmvp=self.tmvp_ctx)
+        lam_satd = float(np.sqrt(self.lam))
+        fb = self._fb
 
-        def mv_dist(mi):
-            if mi.ref0 >= len(self.refs) or \
-                    (mi.inter_dir & 2 and mi.ref1 >= len(self.refs_l1)):
-                return None
-            dist = 0 if mi.inter_dir == d else 1 << 18
-            if d & 1:
-                if mi.inter_dir & 1:
-                    dist += (abs(mi.mv0[0] - mv0[0])
-                             + abs(mi.mv0[1] - mv0[1])
-                             + ((mi.ref0 != r0) << 16))
-                else:
-                    dist += 1 << 17
-            if d & 2:
-                if mi.inter_dir & 2:
-                    dist += (abs(mi.mv1[0] - mv1[0])
-                             + abs(mi.mv1[1] - mv1[1])
-                             + ((mi.ref1 != r1) << 16))
-                else:
-                    dist += 1 << 17
-            return dist
-
+        # RD screen over the EXACT merge list (MC-SATD + merge-idx
+        # rate, no refinement — EncCu's merge SATD prepass) vs one
+        # AMVP trial at the search's refined MV. The search's
+        # predictor-like flag is advisory: its approximate candidates
+        # need not appear in the real list, so the commit re-costs.
         best_m = None
+        seen = set()
+        exact = None
         for m_idx, mi in enumerate(merge_cands):
-            dist = mv_dist(mi)
-            if dist is None:
+            key = (mi.inter_dir, mi.mv0, mi.ref0, mi.mv1, mi.ref1)
+            if key in seen or mi.ref0 >= len(self.refs) or \
+                    (mi.inter_dir & 2 and mi.ref1 >= len(self.refs_l1)):
                 continue
-            if best_m is None or dist < best_m[0]:
-                best_m = (dist, m_idx, mi)
+            seen.add(key)
+            pred = self._map_luma_pred(
+                self._motion_pred_luma(x, y, w, h, mi))
+            c = _satd_np(blk, pred) + lam_satd * float(
+                bitest.merge_bits(fb, np.asarray([m_idx]))[0])
+            if best_m is None or c < best_m[0]:
+                best_m = (c, m_idx, mi)
+            if exact is None and mi.inter_dir == d and \
+                    (not d & 1 or (mi.mv0 == mv0 and mi.ref0 == r0)) \
+                    and (not d & 2 or (mi.mv1 == mv1 and mi.ref1 == r1)):
+                exact = m_idx
+
+        amvp_cost = None
+        if exact is None and best_m is not None:
+            mi_a = inter.MotionInfo(d, mv0 if d & 1 else (0, 0),
+                                    mv1 if d & 2 else (0, 0),
+                                    r0 if d & 1 else -1,
+                                    r1 if d & 2 else -1)
+            pred_a = self._map_luma_pred(
+                self._motion_pred_luma(x, y, w, h, mi_a))
+            bits_a = 5.0
+            if d & 1:
+                bits_a += 2 + (abs(mv0[0]) + abs(mv0[1])).bit_length()
+            if d & 2:
+                bits_a += 2 + (abs(mv1[0]) + abs(mv1[1])).bit_length()
+            amvp_cost = _satd_np(blk, pred_a) + lam_satd * bits_a
 
         use_merge = best_m is not None and (
-            best_m[0] == 0 or (spec.get("mlike") and merge_cands))
+            exact is not None
+            or amvp_cost is None or best_m[0] <= amvp_cost)
         if use_merge:
+            if exact is not None:
+                best_m = (0.0, exact, merge_cands[exact])
             _, m_idx, mi = best_m
             trial = self._eval_merge(x, y, w, h, blk, mi, m_idx)
             self._write_leaf_merge(x, y, w, h, trial)
@@ -2110,7 +2218,8 @@ class FrameEncoder:
                     self.maps.coded, mrl=k, xmax=self.wpp_xmax)
                 best_m, best_sad, best_pred = None, None, None
                 for m in mpm[1:]:
-                    if m == intra.PLANAR_IDX:
+                    if m == intra.PLANAR_IDX or \
+                            not intra.mrl_mode_safe(m, w, h, k):
                         continue
                     pk = intra.predict(m, tk, lk, w, h,
                                        self.cfg.bit_depth, mrl=k)

@@ -24,9 +24,14 @@ semantics at the CTU root: {0: no-split, 1: QT, 2: BT_H, 3: BT_V},
 with QT fallback when the hinted split is illegal
 (EncModeCtrl.cpp:122-138).
 
-TT splits are not batched (their children are quarter-offset, off the
-(w, h)-aligned grids this search tiles); the sequential exhaustive
-path (encoder._compress_cu) remains the TT-capable reference search.
+TT splits are batched too: every geometry class is evaluated on a
+HALF-STRIDE position grid (a CU of size (w, h) always sits at a
+multiple of (max(h/2, 8), max(w/2, 8)) — TT middle children are offset
+by half their own size), so the DP covers the full QT+BT+TT tree at
+CTU 128 / MaxMTTHierarchyDepth 3 (UnitPartitioner.cpp:271 geometry,
+EncCu.cpp:1401 split loop). The parallel-TT restriction (no same-
+direction BT inside a TT middle child, UnitPartitioner.cpp:408-412) is
+modeled with per-node cost variants.
 """
 
 from __future__ import annotations
@@ -111,9 +116,9 @@ def _pc_for(cfg: hls.SeqConfig, slice_type: int):
 
 
 def _geometries(pc, cs, min_qt, D, min_dim=8):
-    """All (w, h) classes reachable by QT (to min_qt) then <= D BT
-    splits, children kept on their own aligned grid (BT-only subtrees
-    guarantee x % w == 0, y % h == 0)."""
+    """All (w, h) classes reachable by QT (to min_qt) then <= D MTT
+    (BT or TT) splits. Positions live on the half-stride grids of
+    ops.me_frame.class_grid."""
     squares = []
     s = cs
     while s >= min_qt:
@@ -132,6 +137,12 @@ def _geometries(pc, cs, min_qt, D, min_dim=8):
                     nxt.add((w, h // 2))
                 if cans[3] and w // 2 >= min_dim:
                     nxt.add((w // 2, h))
+                if cans[4] and h // 4 >= min_dim:
+                    nxt.add((w, h // 4))
+                    nxt.add((w, h // 2))
+                if cans[5] and w // 4 >= min_dim:
+                    nxt.add((w // 4, h))
+                    nxt.add((w // 2, h))
             geoms |= nxt
             frontier = nxt
     return squares, sorted(geoms, key=lambda g: (-g[0] * g[1], g))
@@ -144,13 +155,14 @@ def _geometries(pc, cs, min_qt, D, min_dim=8):
 
 def _device_refs(plane, w, h):
     """top[N, 2w+1] / left[N, 2h+1] org-sample references for every
-    (w x h)-aligned block (corner first; borders replicate — the commit
-    pass redoes exact reference substitution)."""
+    block position of the class grid (corner first; borders replicate —
+    the commit pass redoes exact reference substitution)."""
+    from ..ops import me_frame
     H, W = plane.shape
+    ys, xs = me_frame.class_grid(H, W, w, h)
     pad = jnp.pad(plane, ((1, 2 * h), (1, 2 * w)), mode="edge")
-    nby, nbx = H // h, W // w
-    by = (jnp.arange(nby) * h)[:, None, None]
-    bx = (jnp.arange(nbx) * w)[None, :, None]
+    by = jnp.asarray(ys)[:, None, None]
+    bx = jnp.asarray(xs)[None, :, None]
     rt = jnp.arange(2 * w + 1)
     rl = jnp.arange(2 * h + 1)
     tops = pad[by, bx + rt[None, None, :]].reshape(-1, 2 * w + 1)
@@ -159,9 +171,14 @@ def _device_refs(plane, w, h):
 
 
 def _device_blocks(plane, w, h):
+    from ..ops import me_frame
     H, W = plane.shape
-    return (plane.reshape(H // h, h, W // w, w)
-            .swapaxes(1, 2).reshape(-1, h, w))
+    ys, xs = me_frame.class_grid(H, W, w, h)
+    ii = jnp.arange(h)[None, None, :, None]
+    jj = jnp.arange(w)[None, None, None, :]
+    return plane[jnp.asarray(ys)[:, None, None, None] + ii,
+                 jnp.asarray(xs)[None, :, None, None] + jj
+                 ].reshape(-1, h, w)
 
 
 def _satd_nd(a, b, w, h):
@@ -170,19 +187,23 @@ def _satd_nd(a, b, w, h):
     return rdcost.satd4(a, b)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _intra_leaf_class(plane, w, h):
+    """Best intra (mode, satd) over all 67 modes for one class grid.
+    Jitted per class: compiles are incremental and shared across CTU
+    configurations."""
+    tops, lefts = _device_refs(plane, w, h)
+    blocks = _device_blocks(plane, w, h)
+    preds = intra_batch.predict_all_modes(tops, lefts, w, h)
+    c = _satd_nd(preds, blocks[None], w, h)              # [67, N]
+    return (jnp.argmin(c, axis=0).astype(jnp.int32),
+            jnp.min(c, axis=0).astype(jnp.float32))
+
+
 def _intra_leaf_device(plane, classes):
-    """Packed per-class best intra (mode, satd) over all 67 modes.
-    -> (int32 vector [sum N per class x 1], float32 vector)."""
-    idx_parts, cost_parts = [], []
-    for (w, h) in classes:
-        tops, lefts = _device_refs(plane, w, h)
-        blocks = _device_blocks(plane, w, h)
-        preds = intra_batch.predict_all_modes(tops, lefts, w, h)
-        c = _satd_nd(preds, blocks[None], w, h)          # [67, N]
-        idx_parts.append(jnp.argmin(c, axis=0).astype(jnp.int32))
-        cost_parts.append(jnp.min(c, axis=0).astype(jnp.float32))
-    return jnp.concatenate(idx_parts), jnp.concatenate(cost_parts)
+    outs = [_intra_leaf_class(plane, w, h) for (w, h) in classes]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))
 
 
 # ---------------------------------------------------------------------------
@@ -246,40 +267,44 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         intra_leaf_bits = intra_bits
 
     classes = tuple(geoms)
+    from ..ops import me_frame
+    grids = {c: me_frame.class_grid(H, W, c[0], c[1]) for c in classes}
+    strides = {c: (max(c[1] // 2, 8), max(c[0] // 2, 8))
+               for c in classes}
     jorg = jnp.asarray(org_p)
 
-    # ---- intra leg (all classes, one dispatch, two downloads)
-    use_mesh = None
-    if mesh is not None:
-        from ..parallel import fused_shard, mesh as mesh_mod
-        n_dev = mesh.shape[mesh_mod.tile_axis]
-        max_w = max(w for (w, _) in classes)
-        if W % (n_dev * max_w) == 0:
-            use_mesh = mesh
-    if use_mesh is not None:
-        iv, cv = fused_shard.sharded_intra_leaf(org_p, classes,
-                                                use_mesh)
-    else:
-        iv, cv = _intra_leaf_device(jorg, classes)
+    # ---- intra leg (classes up to the 64-sample TB limit; larger
+    # geometries are inter-only, like VTM's intra checks)
+    intra_classes = tuple(c for c in classes
+                          if c[0] <= 64 and c[1] <= 64)
+    use_mesh = mesh
+    iv, cv = _intra_leaf_device(jorg, intra_classes)
     iv = np.asarray(iv)
     cv = np.asarray(cv)
 
     leaf = {}
     off = 0
-    for (w, h) in classes:
-        nby, nbx = H // h, W // w
-        n = nby * nbx
+    for (w, h) in intra_classes:
+        ys, xs = grids[(w, h)]
+        n = len(ys) * len(xs)
         leaf[(w, h)] = {
-            "imode": iv[off:off + n].reshape(nby, nbx),
+            "imode": iv[off:off + n].reshape(len(ys), len(xs)),
             "icost": (cv[off:off + n].astype(np.float64)
-                      + lam_satd * intra_leaf_bits).reshape(nby, nbx),
+                      + lam_satd * intra_leaf_bits
+                      ).reshape(len(ys), len(xs)),
         }
         off += n
+    for (w, h) in classes:
+        if (w, h) not in leaf:
+            ys, xs = grids[(w, h)]
+            leaf[(w, h)] = {
+                "imode": np.zeros((len(ys), len(xs)), np.int32),
+                "icost": np.full((len(ys), len(xs)), 1e18),
+            }
 
-    # ---- inter leg (classes with both dims >= 8: the SAD base grid)
+    # ---- inter leg (all classes: the SAD base grid is 8x8)
     iclasses = tuple(g for g in classes if g[0] >= 8 and g[1] >= 8)
     if inter_slice:
-        from ..ops import me_frame
         refs0, r0map, refs1, r1map = [], [], [], []
         c0, c1 = [], []
         for k, (lst, ridx, plane) in enumerate(ref_planes):
@@ -321,54 +346,90 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         for lv in leaf.values():
             lv["cost"] = lv["icost"]
 
-    # ---- DP over (geometry, BT depth budget)
-    # B[d][(w,h)]: best cost of a (w,h) area with d BT splits left;
-    # choice[d][(w,h)]: NO/BH/BV per grid node.
+    # ---- DP over (geometry, MTT budget, parallel-TT variant)
+    # B[v][d][(w,h)]: best cost of a (w,h) node with d MTT splits left
+    # under variant v (0 unrestricted, 1 = BT_H banned at this node =
+    # TT_H middle child, 2 = BT_V banned). CH mirrors the choice.
     geoset = set(geoms)
-    B = [dict() for _ in range(D + 1)]
-    CH = [dict() for _ in range(D + 1)]
+    NVAR = 3
+    B = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
+    CH = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
 
-    def node_rates(w, h, d):
+    def sub(arr, cc, ys_pos, xs_pos):
+        syc, sxc = strides[cc]
+        return arr[(ys_pos // syc)[:, None], (xs_pos // sxc)[None, :]]
+
+    def node_rates(w, h, d, var):
         mtt = D - d
-        last = QT if d == D else BH
+        last = QT if mtt == 0 else BH
         qtd = max(0, (cs // max(w, h)).bit_length() - 1)
-        return srate.costs(w, h, qtd, mtt, last)
+        tmid = (partition.BT_H if var == 1
+                else partition.BT_V if var == 2 else None)
+        return srate.costs(w, h, qtd, mtt, last, tmid)
 
+    TH, TV = partition.TT_H, partition.TT_V
     for d in range(D + 1):
         for (w, h) in geoms:
-            rates = node_rates(w, h, d)
-            cost = leaf[(w, h)]["cost"] + lam_satd * rates.get(NO, 0.0)
-            choice = np.zeros(cost.shape, np.int8)
+            ys, xs = grids[(w, h)]
+            comp = {}
             if d > 0:
-                if BH in rates and (w, h // 2) in geoset:
-                    ch = B[d - 1][(w, h // 2)]
-                    nby, nbx = cost.shape
-                    agg = (ch.reshape(nby, 2, nbx).sum(axis=1)
-                           + lam_satd * rates[BH])
+                cc = (w, h // 2)
+                if cc in geoset:
+                    ch = B[0][d - 1][cc]
+                    comp[BH] = (sub(ch, cc, ys, xs)
+                                + sub(ch, cc, ys + h // 2, xs))
+                cc = (w // 2, h)
+                if cc in geoset:
+                    ch = B[0][d - 1][cc]
+                    comp[BV] = (sub(ch, cc, ys, xs)
+                                + sub(ch, cc, ys, xs + w // 2))
+                cf, cm = (w, h // 4), (w, h // 2)
+                if cf in geoset and cm in geoset:
+                    f = B[0][d - 1][cf]
+                    m = B[1][d - 1][cm]
+                    comp[TH] = (sub(f, cf, ys, xs)
+                                + sub(m, cm, ys + h // 4, xs)
+                                + sub(f, cf, ys + 3 * (h // 4), xs))
+                cf, cm = (w // 4, h), (w // 2, h)
+                if cf in geoset and cm in geoset:
+                    f = B[0][d - 1][cf]
+                    m = B[2][d - 1][cm]
+                    comp[TV] = (sub(f, cf, ys, xs)
+                                + sub(m, cm, ys, xs + w // 4)
+                                + sub(f, cf, ys, xs + 3 * (w // 4)))
+            base = leaf[(w, h)]["cost"]
+            for var in range(NVAR):
+                rates = node_rates(w, h, d, var)
+                cost = base + lam_satd * rates.get(NO, 0.0)
+                choice = np.zeros(cost.shape, np.int8)
+                for sp in (BH, BV, TH, TV):
+                    if sp not in rates or sp not in comp:
+                        continue
+                    agg = comp[sp] + lam_satd * rates[sp]
                     m = agg < cost
-                    choice = np.where(m, np.int8(BH), choice)
+                    choice = np.where(m, np.int8(sp), choice)
                     cost = np.where(m, agg, cost)
-                if BV in rates and (w // 2, h) in geoset:
-                    ch = B[d - 1][(w // 2, h)]
-                    nby, nbx = cost.shape
-                    agg = (ch.reshape(nby, nbx, 2).sum(axis=2)
-                           + lam_satd * rates[BV])
-                    m = agg < cost
-                    choice = np.where(m, np.int8(BV), choice)
-                    cost = np.where(m, agg, cost)
-            B[d][(w, h)] = cost
-            CH[d][(w, h)] = choice
+                B[var][d][(w, h)] = cost
+                CH[var][d][(w, h)] = choice
 
-    # QT levels: T[s] = min(BT-subtree at s, 4 x T[s/2] + qt rate)
-    T = {min_qt: B[D][(min_qt, min_qt)]}
+    # QT levels: T[s] = min(MTT subtree at s, 4 x T[s/2] + qt rate),
+    # evaluated on the s-ALIGNED grid (QT nodes are never half-offset)
+    def aligned(arr, c, s):
+        sy, sx = strides[c]
+        ya = (np.arange(H // s) * s) // sy
+        xa = (np.arange(W // s) * s) // sx
+        return arr[ya[:, None], xa[None, :]]
+
+    T = {min_qt: aligned(B[0][D][(min_qt, min_qt)],
+                         (min_qt, min_qt), min_qt)}
     QSPLIT = {}
     for s in sorted(squares)[1:]:
         child = T[s // 2]
         nby, nbx = child.shape
-        rates = node_rates(s, s, D)
+        rates = node_rates(s, s, D, 0)
         agg = (child.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
                + lam_satd * rates.get(QT, 1.0))
-        leafbt = B[D][(s, s)]
+        leafbt = aligned(B[0][D][(s, s)], (s, s), s)
         QSPLIT[s] = (agg < leafbt) & (QT in rates)
         T[s] = np.where(QSPLIT[s], agg, leafbt)
 
@@ -379,7 +440,8 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     def record_leaf(x, y, w, h):
         dec_split[(x, y, w, h)] = NO
         lv = leaf[(w, h)]
-        by, bx = y // h, x // w
+        sy, sx = strides[(w, h)]
+        by, bx = y // sy, x // sx
         if inter_slice and lv.get("inter") is not None \
                 and lv["inter"][by, bx]:
             dec_mode[(x, y, w, h)] = ("inter", {
@@ -394,8 +456,9 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         else:
             dec_mode[(x, y, w, h)] = int(lv["imode"][by, bx])
 
-    def walk_bt(x, y, w, h, d):
-        ch = int(CH[d][(w, h)][y // h, x // w]) if d > 0 else NO
+    def walk_bt(x, y, w, h, d, var=0):
+        sy, sx = strides[(w, h)]
+        ch = int(CH[var][d][(w, h)][y // sy, x // sx]) if d > 0 else NO
         if ch == BH:
             dec_split[(x, y, w, h)] = BH
             walk_bt(x, y, w, h // 2, d - 1)
@@ -404,6 +467,18 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
             dec_split[(x, y, w, h)] = BV
             walk_bt(x, y, w // 2, h, d - 1)
             walk_bt(x + w // 2, y, w // 2, h, d - 1)
+        elif ch == TH:
+            dec_split[(x, y, w, h)] = TH
+            q = h // 4
+            walk_bt(x, y, w, q, d - 1)
+            walk_bt(x, y + q, w, 2 * q, d - 1, 1)
+            walk_bt(x, y + 3 * q, w, q, d - 1)
+        elif ch == TV:
+            dec_split[(x, y, w, h)] = TV
+            q = w // 4
+            walk_bt(x, y, q, h, d - 1)
+            walk_bt(x + q, y, 2 * q, h, d - 1, 2)
+            walk_bt(x + 3 * q, y, q, h, d - 1)
         else:
             record_leaf(x, y, w, h)
 
@@ -417,7 +492,7 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                 record_leaf(x, y, s, s)
                 return
             if forced in (2, 3) and D > 0:
-                rates = node_rates(s, s, D)
+                rates = node_rates(s, s, D, 0)
                 want = BH if forced == 2 else BV
                 child = (s, s // 2) if want == BH else (s // 2, s)
                 if want in rates and child in geoset:
@@ -439,22 +514,32 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         else:
             walk_bt(x, y, s, s, D)
 
+    # I-slice CTUs larger than 64 split implicitly (the intra TB limit)
+    force_root_qt = slice_type == hls.I_SLICE and cs > 64
     for cy in range(H // cs):
         for cx in range(W // cs):
             forced = None
             if split_hints is not None and split_hints[cy, cx] >= 0:
                 forced = int(split_hints[cy, cx])
-            walk_q(cx * cs, cy * cs, cs, forced)
+            if force_root_qt and forced in (None, 0, 2, 3):
+                dec_split[(cx * cs, cy * cs, cs, cs)] = QT
+                hs = cs // 2
+                for (qx, qy) in ((cx * cs, cy * cs),
+                                 (cx * cs + hs, cy * cs),
+                                 (cx * cs, cy * cs + hs),
+                                 (cx * cs + hs, cy * cs + hs)):
+                    walk_q(qx, qy, hs)
+            else:
+                walk_q(cx * cs, cy * cs, cs, forced)
 
     level = {}
-    for s in squares:
-        lv = leaf[(s, s)]
-        ent = {"imode": lv["imode"]}
+    for sq in squares:
+        lv = leaf[(sq, sq)]
+        c = (sq, sq)
+        ent = {"imode": aligned(lv["imode"], c, sq)}
         if inter_slice and lv.get("inter") is not None:
-            ent.update(inter=lv["inter"], dir=lv["dir"],
-                       ref0=lv["ref0"], mv0x=lv["mv0x"],
-                       mv0y=lv["mv0y"], ref1=lv["ref1"],
-                       mv1x=lv["mv1x"], mv1y=lv["mv1y"],
-                       mlike=lv["mlike"])
-        level[s] = ent
+            for f in ("inter", "dir", "ref0", "mv0x", "mv0y",
+                      "ref1", "mv1x", "mv1y", "mlike"):
+                ent[f] = aligned(lv[f], c, sq)
+        level[sq] = ent
     return FusedDecisions(dec_split, dec_mode, level)

@@ -79,6 +79,26 @@ def is_integer_slope(abs_ang: int) -> bool:
     return (abs_ang & 31) == 0
 
 
+def mrl_mode_safe(mode: int, w: int, h: int, mrl: int) -> bool:
+    """Whether an MRL prediction stays within the guaranteed reference
+    range. Wide-angle modes (|ang| > 32) with multiRefIdx > 0 can
+    index past the 2W+maxIndex extension the spec/VTM fill
+    (IntraPrediction.cpp:512-521) — VTM reads stale stack beyond it,
+    so such (mode, shape, mrl) combinations are simply never selected
+    by this encoder."""
+    if mode <= DC_IDX or mrl == 0:
+        return True
+    pm = modified_wide_angle(w, h, mode)
+    is_ver, ang, _ = _angle_params(pm)
+    if ang <= 0:
+        return True
+    width, height = (w, h) if is_ver else (h, w)
+    log2r = (w.bit_length() - 1) - (h.bit_length() - 1)
+    sft = max(0, log2r if is_ver else -log2r)
+    worst = mrl + (((height + mrl) * ang) >> 5) + width + 3
+    return worst <= 2 * width + mrl + (mrl << sft) + 2
+
+
 def pred_params(mode: int, w: int, h: int, mrl: int = 0,
                 isp_cu_dims=None):
     """initPredIntraParams parity for luma; mrl = multiRefIdx

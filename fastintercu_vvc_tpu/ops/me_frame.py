@@ -139,6 +139,24 @@ def _downsample4(p):
              .reshape(H // 4, 4, W // 4, 4).sum(axis=(1, 3)) + 8) >> 4)
 
 
+def class_grid(H, W, w, h):
+    """Half-stride position grids (TT support): every CU of size (w, h)
+    sits at a multiple of (max(h/2, 8), max(w/2, 8)) — TT middle
+    children are offset by half their own size, everything else is
+    own-size aligned (UnitPartitioner geometry)."""
+    sy, sx = max(h // 2, 8), max(w // 2, 8)
+    ys = np.arange((H - h) // sy + 1) * sy
+    xs = np.arange((W - w) // sx + 1) * sx
+    return ys, xs
+
+
+def _integral(m):
+    """[..., a, b] -> [..., a+1, b+1] 2D inclusive prefix sums."""
+    c = jnp.cumsum(jnp.cumsum(m, axis=-1), axis=-2)
+    c = jnp.pad(c, [(0, 0)] * (m.ndim - 2) + [(1, 0), (1, 0)])
+    return c
+
+
 def _best_from_map(smap, sr):
     """[R, K, nby, nbx] -> (ref [nby,nbx], dy, dx, cost) over refs and
     displacements."""
@@ -154,20 +172,17 @@ def _best_from_map(smap, sr):
     return ref, dy, dx, cost
 
 
-def _agg_map(sad8, nby, fh, nbx, fw):
-    """Aggregate the 8x8-granularity map into class tiles."""
-    R, K = sad8.shape[0], sad8.shape[1]
-    return sad8.reshape(R, K, nby, fh, nbx, fw).sum(axis=(3, 5))
-
-
 # ---------------------------------------------------------------------------
 # the per-frame search kernel
 
 
-def _list_leg(org, pads, sad8, coarse_field, col_field, col_valid,
+def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
               w, h, sr, bd, lam, n_ref, ref_bits):
     """One reference list for one class: candidate screen + refinement.
 
+    sadii: [R, K, nb8y+1, nb8x+1] integral images of the 8x8 SAD maps
+    (arbitrary 8-aligned windows — the half-stride grids overlap, so
+    aggregation is 4 gathers instead of a reshape).
     coarse_field: [nc y, nc x, 3] (ref, dy4, dx4) best from the coarse
     map at 32x32 granularity, full-res integer pels.
     col_field/col_valid: [n_ref, H8, W8, 2] / [n_ref, H8, W8]
@@ -176,16 +191,23 @@ def _list_leg(org, pads, sad8, coarse_field, col_field, col_valid,
             pred [N,h,w])
     """
     H, W = org.shape
-    nby, nbx = H // h, W // w
+    ys, xs = class_grid(H, W, w, h)
+    nby, nbx = len(ys), len(xs)
     N = nby * nbx
-    blocks = (org.reshape(nby, h, nbx, w).swapaxes(1, 2)
-              .reshape(N, h, w))
-    py = (jnp.arange(nby) * h)[:, None].repeat(nbx, 1).reshape(-1) + PAD
-    px = (jnp.arange(nbx) * w)[None, :].repeat(nby, 0).reshape(-1) + PAD
+    jys, jxs = jnp.asarray(ys), jnp.asarray(xs)
+    blocks = org[jys[:, None, None, None] + jnp.arange(h)[None, None, :, None],
+                 jxs[None, :, None, None] + jnp.arange(w)[None, None, None, :]
+                 ].reshape(N, h, w)
+    py = jnp.repeat(jys, nbx) + PAD
+    px = jnp.tile(jxs, nby) + PAD
 
-    # integer best per class tile (over refs)
-    agg = _agg_map(sad8, nby, h // 8, nbx, w // 8)
-    ref_i, dy_i, dx_i, _ = _best_from_map(agg, sr)
+    # integer best per class tile (over refs): window-summed SAD map
+    y0 = (jys // 8)[:, None]
+    x0 = (jxs // 8)[None, :]
+    fh, fw = h // 8, w // 8
+    agg = (sadii[:, :, y0 + fh, x0 + fw] - sadii[:, :, y0, x0 + fw]
+           - sadii[:, :, y0 + fh, x0] + sadii[:, :, y0, x0])
+    ref_i, dy_i, dx_i, _ = _best_from_map(agg, sr)      # [nby, nbx]
     mv_int = jnp.stack([dx_i << 4, dy_i << 4], -1).reshape(N, 2)
     ref_int = ref_i.reshape(N)
 
@@ -198,20 +220,16 @@ def _list_leg(org, pads, sad8, coarse_field, col_field, col_valid,
     top_r = jnp.concatenate([reff[:1, :], reff[:-1, :]], axis=0)
 
     # coarse (extended-range) candidate: 32x32-granularity field lookup
-    cy = jnp.minimum((jnp.arange(nby) * h + h // 2) // 32,
-                     coarse_field.shape[0] - 1)
-    cx = jnp.minimum((jnp.arange(nbx) * w + w // 2) // 32,
-                     coarse_field.shape[1] - 1)
+    cy = jnp.minimum((jys + h // 2) // 32, coarse_field.shape[0] - 1)
+    cx = jnp.minimum((jxs + w // 2) // 32, coarse_field.shape[1] - 1)
     cf = coarse_field[cy[:, None], cx[None, :]]        # [nby, nbx, 3]
     mv_coarse = jnp.stack([cf[..., 2] << 4, cf[..., 1] << 4],
                           -1).reshape(N, 2)
     ref_coarse = cf[..., 0].reshape(N).astype(jnp.int32)
 
     # collocated candidate (target ref 0)
-    gy = jnp.minimum((jnp.arange(nby) * h + h // 2) // 8,
-                     col_field.shape[1] - 1)
-    gx = jnp.minimum((jnp.arange(nbx) * w + w // 2) // 8,
-                     col_field.shape[2] - 1)
+    gy = jnp.minimum((jys + h // 2) // 8, col_field.shape[1] - 1)
+    gx = jnp.minimum((jxs + w // 2) // 8, col_field.shape[2] - 1)
     mv_col = col_field[0][gy[:, None], gx[None, :]].reshape(N, 2)
     ok_col = col_valid[0][gy[:, None], gx[None, :]].reshape(N)
 
@@ -219,98 +237,103 @@ def _list_leg(org, pads, sad8, coarse_field, col_field, col_valid,
     z32 = jnp.zeros((N,), jnp.int32)
 
     cand_mv = jnp.stack([mv_int, mv_coarse, zeros, mv_col,
-                         left.reshape(N, 2), top.reshape(N, 2)], 1)
-    cand_mv = _clip_mv(cand_mv)
+                         left.reshape(N, 2), top.reshape(N, 2)], 0)
+    cand_mv = _clip_mv(cand_mv)                        # [C, N, 2]
     cand_ref = jnp.stack([ref_int, ref_coarse, z32, z32,
-                          left_r.reshape(N), top_r.reshape(N)], 1)
-    C = cand_mv.shape[1]
-
-    # pred + SATD for every candidate
-    flat_mv = cand_mv.reshape(N * C, 2)
-    flat_ref = cand_ref.reshape(N * C)
-    fpy = jnp.repeat(py, C)
-    fpx = jnp.repeat(px, C)
-    preds = mc_frac_batch(pads, flat_ref, fpy, fpx,
-                          flat_mv[:, 0], flat_mv[:, 1], h, w, bd)
-    satd = _satd_c(preds.reshape(N, C, h, w),
-                   blocks[:, None], w, h).astype(jnp.float32)
+                          left_r.reshape(N), top_r.reshape(N)], 0)
+    C = cand_mv.shape[0]
 
     # rates: searched candidates pay mvd vs the left predictor;
     # predictor-like candidates pay merge-flag + merge-idx bits
     pmx = left.reshape(N, 2)[:, 0]
     pmy = left.reshape(N, 2)[:, 1]
+    amvp_over = 5.0 + ref_bits * (cand_ref > 0)        # [C, N]
     mvb = _mv_bits(cand_mv[..., 0], cand_mv[..., 1],
-                   pmx[:, None], pmy[:, None])
-    amvp_over = 5.0 + ref_bits * (cand_ref > 0)
+                   pmx[None, :], pmy[None, :])
     rate_amvp = mvb + amvp_over
     mrank = jnp.asarray([0., 0., 1., 2., 3., 4.], jnp.float32)
-    rate_merge = 1.0 + 1.0 + mrank[None, :]
+    rate_merge = 1.0 + 1.0 + mrank[:, None] + jnp.zeros((1, N))
     is_pred_like = jnp.asarray([False, False, True, True, True, True])
-    rate = jnp.where(is_pred_like[None, :], rate_merge, rate_amvp)
-    # an invalid collocated candidate must not win
-    bad = jnp.zeros((N, C), bool).at[:, 3].set(~ok_col)
-    cost = satd + lam * rate + jnp.where(bad, 1e18, 0.0)
+    rate = jnp.where(is_pred_like[:, None], rate_merge, rate_amvp)
+    bad = jnp.zeros((C, N), bool).at[3].set(~ok_col)
 
-    best_c = jnp.argmin(cost, axis=1)
-    bsel = (jnp.arange(N), best_c)
-    best_mv = cand_mv[bsel]
-    best_ref = cand_ref[bsel]
-    best_cost = cost[bsel]
-    best_mlike = is_pred_like[best_c]
-    best_pred = preds.reshape(N, C, h, w)[bsel]
-    best_bits = rate[bsel]
+    # candidate screen: one MC instance, scanned over candidates
+    def cand_step(carry, xs):
+        bcost, bmv, bref, bbits, bml, bpred = carry
+        mv, ref, r, pl, bd_ = xs
+        pred = mc_frac_batch(pads, ref, py, px, mv[:, 0], mv[:, 1],
+                             h, w, bd)
+        satd = _satd_c(pred, blocks, w, h).astype(jnp.float32)
+        cost = satd + lam * r + jnp.where(bd_, 1e18, 0.0)
+        take = cost < bcost
+        return ((jnp.where(take, cost, bcost),
+                 jnp.where(take[:, None], mv, bmv),
+                 jnp.where(take, ref, bref),
+                 jnp.where(take, r, bbits),
+                 jnp.where(take, pl, bml),
+                 jnp.where(take[:, None, None], pred, bpred)), None)
 
-    # fractional refinement of the searched winner (half then quarter);
-    # keeps the merge-like winner untouched so the commit pass can map
-    # it onto the exact merge candidate list
+    init = (jnp.full((N,), 1e30, jnp.float32), cand_mv[0],
+            cand_ref[0], rate[0],
+            jnp.zeros((N,), bool), jnp.zeros((N, h, w), jnp.int32))
+    pl_bc = jnp.broadcast_to(is_pred_like[:, None], (C, N))
+    (best_cost, best_mv, best_ref, best_bits, best_mlike,
+     best_pred), _ = jax.lax.scan(
+        cand_step, init, (cand_mv, cand_ref, rate, pl_bc, bad))
+
+    # fractional refinement of the searched winner (half then quarter,
+    # 8 neighbors per round around the round's center); the merge-like
+    # winner is kept untouched so the commit pass can map it onto the
+    # exact merge candidate list
     ref_mv, ref_cost, ref_pred = best_mv, best_cost, best_pred
     for step in (8, 4):
         offs = jnp.asarray(
-            [(0, 0), (-step, 0), (step, 0), (0, -step), (0, step),
+            [(-step, 0), (step, 0), (0, -step), (0, step),
              (-step, -step), (step, step), (-step, step),
              (step, -step)], jnp.int32)
-        P = offs.shape[0]
-        rmv = _clip_mv(ref_mv[:, None, :] + offs[None])     # [N, P, 2]
-        fmv = rmv.reshape(N * P, 2)
-        rpred = mc_frac_batch(pads, jnp.repeat(best_ref, P),
-                              jnp.repeat(py, P), jnp.repeat(px, P),
-                              fmv[:, 0], fmv[:, 1], h, w, bd)
-        rsatd = _satd_c(rpred.reshape(N, P, h, w), blocks[:, None],
-                        w, h).astype(jnp.float32)
-        rbits = _mv_bits(rmv[..., 0], rmv[..., 1],
-                         pmx[:, None], pmy[:, None]) + 5.0 \
-            + ref_bits * (best_ref[:, None] > 0)
-        rcost = rsatd + lam * rbits
-        rbest = jnp.argmin(rcost, axis=1)
-        rs = (jnp.arange(N), rbest)
-        ref_mv = rmv[rs]
-        ref_cost = rcost[rs]
-        ref_pred = rpred.reshape(N, P, h, w)[rs]
+        center = ref_mv
+
+        def ref_step(carry, off):
+            bcost, bmv, bpred = carry
+            rmv = _clip_mv(center + off[None, :])
+            pred = mc_frac_batch(pads, best_ref, py, px,
+                                 rmv[:, 0], rmv[:, 1], h, w, bd)
+            satd = _satd_c(pred, blocks, w, h).astype(jnp.float32)
+            rbits = _mv_bits(rmv[:, 0], rmv[:, 1], pmx, pmy) + 5.0 \
+                + ref_bits * (best_ref > 0)
+            cost = satd + lam * rbits
+            take = cost < bcost
+            return ((jnp.where(take, cost, bcost),
+                     jnp.where(take[:, None], rmv, bmv),
+                     jnp.where(take[:, None, None], pred, bpred)),
+                    None)
+
+        (ref_cost, ref_mv, ref_pred), _ = jax.lax.scan(
+            ref_step, (ref_cost, ref_mv, ref_pred), offs)
+    out_bits = _mv_bits(ref_mv[:, 0], ref_mv[:, 1], pmx, pmy) + 5.0 \
+        + ref_bits * (best_ref > 0)
 
     take_ref = (~best_mlike) & (ref_cost < best_cost)
     out_mv = jnp.where(take_ref[:, None], ref_mv, best_mv)
     out_cost = jnp.where(take_ref, ref_cost, best_cost)
     out_pred = jnp.where(take_ref[:, None, None], ref_pred, best_pred)
-    out_bits = jnp.where(
-        take_ref,
-        _mv_bits(ref_mv[:, 0], ref_mv[:, 1], pmx, pmy) + 5.0
-        + ref_bits * (best_ref > 0),
-        best_bits)
+    out_bits = jnp.where(take_ref, out_bits, best_bits)
     return {"mv": out_mv, "ref": best_ref, "cost": out_cost,
             "bits": out_bits, "mlike": best_mlike, "pred": out_pred,
             "blocks": blocks}
 
 
-def _search_device_body(org, pads0, pads1, sad8_0, sad8_1,
-                        coarse0, coarse1, col0, col0_ok, col1, col1_ok,
-                        lam, classes, sr, bd, n0, n1):
-    H, W = org.shape
+def _class_device_body(org, pads0, pads1, sadii_0, sadii_1,
+                       coarse0, coarse1, col0, col0_ok, col1, col1_ok,
+                       lam, w, h, sr, bd, n0, n1):
+    """One geometry class: both list legs + bi. Jitted per class so
+    compiles are incremental and shared across CTU configurations."""
     iv_parts, cv_parts = [], []
-    for (w, h) in classes:
-        l0 = _list_leg(org, pads0, sad8_0, coarse0, col0, col0_ok,
+    for _ in (0,):
+        l0 = _list_leg(org, pads0, sadii_0, coarse0, col0, col0_ok,
                        w, h, sr, bd, lam, n0, 1.0)
         if n1 > 0:
-            l1 = _list_leg(org, pads1, sad8_1, coarse1, col1, col1_ok,
+            l1 = _list_leg(org, pads1, sadii_1, coarse1, col1, col1_ok,
                            w, h, sr, bd, lam, n1, 1.0)
             # bi: average of per-list winners (SATD screen analog);
             # inter_dir overhead ~2 bits
@@ -346,8 +369,8 @@ def _search_device_body(org, pads0, pads1, sad8_0, sad8_1,
     return jnp.concatenate(iv_parts), jnp.concatenate(cv_parts)
 
 
-_search_device = jax.jit(_search_device_body,
-                         static_argnums=(12, 13, 14, 15, 16))
+_class_device = jax.jit(_class_device_body,
+                        static_argnums=(12, 13, 14, 15, 16, 17))
 
 
 def _coarse_best(org, refs, sr):
@@ -384,7 +407,7 @@ def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
             s8 = jnp.stack([sad_map(jorg, jnp.asarray(r), sr)
                             for r in refs])
         coarse = _coarse_best(jorg, [jnp.asarray(r) for r in refs], sr)
-        return pads, s8, coarse
+        return pads, _integral(s8), coarse
 
     def prep_col(col, n):
         h8, w8 = H // 8, W // 8
@@ -404,24 +427,23 @@ def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
     cf0, cv0 = prep_col(col0, len(refs0))
     cf1, cv1 = prep_col(col1, len(refs1))
 
-    iv, cv = _search_device(jorg, pads0, pads1, s80, s81, c0, c1,
-                            cf0, cv0, cf1, cv1, lam,
-                            tuple(classes), sr, bd,
-                            len(refs0), len(refs1))
-    iv = np.asarray(iv)
-    cv = np.asarray(cv)
-    out = {}
-    ioff = coff = 0
+    pend = {}
     for (w, h) in classes:
-        nby, nbx = H // h, W // w
+        pend[(w, h)] = _class_device(jorg, pads0, pads1, s80, s81,
+                                     c0, c1, cf0, cv0, cf1, cv1, lam,
+                                     w, h, sr, bd,
+                                     len(refs0), len(refs1))
+    out = {}
+    for (w, h) in classes:
+        ys, xs = class_grid(H, W, w, h)
+        nby, nbx = len(ys), len(xs)
         n = nby * nbx
-        f = iv[ioff:ioff + 8 * n].reshape(8, nby, nbx)
-        ioff += 8 * n
+        iv, cv = pend[(w, h)]
+        f = np.asarray(iv).reshape(8, nby, nbx)
         out[(w, h)] = {
-            "cost": cv[coff:coff + n].reshape(nby, nbx)
+            "cost": np.asarray(cv).reshape(nby, nbx)
             .astype(np.float64),
             "dir": f[0], "ref0": f[1], "mv0x": f[2], "mv0y": f[3],
             "ref1": f[4], "mv1x": f[5], "mv1y": f[6],
             "mlike": f[7].astype(bool)}
-        coff += n
     return out
