@@ -261,7 +261,7 @@ class RandomAccessEncoder:
                  mctf: bool = False, hierarchical_qp: bool = False,
                  intra_period: int = 0, active_refs: int = 2,
                  search: str | None = None, search_bt_depth: int = 2,
-                 split_hints_fn=None, **enc_kwargs):
+                 split_hints_fn=None, rate_control=None, **enc_kwargs):
         """search="fused": drive every frame from the batched
         whole-frame QT+BT search (codec/fused_search) instead of the
         sequential exhaustive RDO — the FastInterCU deployment shape.
@@ -280,8 +280,24 @@ class RandomAccessEncoder:
         self.search = search
         self.search_bt_depth = search_bt_depth
         self.split_hints_fn = split_hints_fn
+        self.rate_control = rate_control   # codec.ratectrl (R-lambda)
         self.search_me_range = enc_kwargs.get("me_range", 16)
         self.frame_encoder = encoder.FrameEncoder(cfg, **enc_kwargs)
+
+    def _rc_qp(self, fallback_qp, tid, is_intra):
+        """R-lambda picture QP + CTU-level hook (RateCtrl.cpp:848,
+        1002); fallback = the CTC hierarchical cascade."""
+        rc = self.rate_control
+        if rc is None:
+            return fallback_qp
+        q = rc.qp_for_frame(is_intra, tid)
+        if self.cfg.cu_qp_delta:
+            n_ctus = (self.cfg.pic_width_in_ctus
+                      * self.cfg.pic_height_in_ctus)
+            rc.start_frame(q, n_ctus, self.cfg.ctu_size ** 2)
+            self.frame_encoder.ctu_qp_fn = \
+                lambda x, y, bits: rc.qp_for_ctu(bits)
+        return q
 
     @staticmethod
     def _col_candidates(col_res, cur_poc, tgt_ref_poc):
@@ -377,11 +393,13 @@ class RandomAccessEncoder:
             return ctc_qp_for(base_qp, tid, is_intra)
 
         # IDR
-        q0 = pic_qp(0, True)
+        q0 = self._rc_qp(pic_qp(0, True), 0, True)
         r = self.frame_encoder.encode_frame(
             frames[0], poc=0, qp=q0, slice_type=hls.I_SLICE,
             decisions=self._decisions(frames[0], 0, q0, hls.I_SLICE))
         emit(0, r, "I")
+        if self.rate_control is not None:
+            self.rate_control.update(q0, r.num_bits)
 
         base = 0
         while base < n - 1:
@@ -396,7 +414,7 @@ class RandomAccessEncoder:
                 # refs are not used for prediction (I slice) but must
                 # appear in the CRA's RPL so the DPB keeps them for
                 # the RASL leading pictures
-                qa = pic_qp(0, True)
+                qa = self._rc_qp(pic_qp(0, True), 0, True)
                 r = self.frame_encoder.encode_frame(
                     frames[anchor], poc=anchor, qp=qa,
                     slice_type=hls.I_SLICE, nal_type=hls.NAL_CRA,
@@ -404,8 +422,10 @@ class RandomAccessEncoder:
                     decisions=self._decisions(frames[anchor], anchor,
                                               qa, hls.I_SLICE))
                 emit(anchor, r, "I")
+                if self.rate_control is not None:
+                    self.rate_control.update(qa, r.num_bits)
             else:
-                qa = pic_qp(0)
+                qa = self._rc_qp(pic_qp(0), 0, False)
                 r = self.frame_encoder.encode_frame(
                     frames[anchor], poc=anchor, qp=qa,
                     slice_type=hls.P_SLICE, refs=[(base, done[base])],
@@ -414,6 +434,8 @@ class RandomAccessEncoder:
                                               l0=done[base],
                                               l0_poc=base))
                 emit(anchor, r, "P")
+                if self.rate_control is not None:
+                    self.rate_control.update(qa, r.num_bits)
             for i, (poc, l0, l1, tid) in enumerate(order):
                 # DPB retention: the RPL must list every picture still
                 # needed by later frames of this GOP (and the anchor for
@@ -432,7 +454,7 @@ class RandomAccessEncoder:
                                                            future, l0, l1)
                 refs_l0 = [(p2, done[p2]) for p2 in past]
                 refs_l1 = [(p2, done[p2]) for p2 in future]
-                qb = pic_qp(tid)
+                qb = self._rc_qp(pic_qp(tid), tid, False)
                 r = self.frame_encoder.encode_frame(
                     frames[poc], poc=poc, qp=qb,
                     slice_type=hls.B_SLICE,
@@ -446,6 +468,8 @@ class RandomAccessEncoder:
                                               l0=done[l0], l1=done[l1],
                                               l0_poc=l0, l1_poc=l1))
                 emit(poc, r, "B")
+                if self.rate_control is not None:
+                    self.rate_control.update(qb, r.num_bits)
             base = anchor
 
         recons = [done[p] for p in range(n)]

@@ -53,8 +53,11 @@ def cu_records(maps) -> list[dict]:
              "skip": bool(maps.skip[j, i]),
              "qt_d": int(maps.qt_d[j, i]),
              "inter_dir": int(maps.inter_dir[j, i]),
-             "mv0": (int(maps.mv0[j, i, 1]), int(maps.mv0[j, i, 0])),
-             "mv1": (int(maps.mv1[j, i, 1]), int(maps.mv1[j, i, 0])),
+             # component 0 is horizontal everywhere in this codebase
+             # (ops/inter.py MV convention); the writer prints
+             # {mvx, mvy} like dtrace_blockstatistics.cpp:624
+             "mv0": (int(maps.mv0[j, i, 0]), int(maps.mv0[j, i, 1])),
+             "mv1": (int(maps.mv1[j, i, 0]), int(maps.mv1[j, i, 1])),
              "ref0": int(maps.ref0[j, i]), "ref1": int(maps.ref1[j, i]),
              "qp": int(maps.qp[j, i]),
              "cbf_y": bool(maps.cbf_y[j, i]),

@@ -74,3 +74,12 @@ def test_blockstats_dump_covers_frame():
     # P-frame: some inter blocks with an L0 vector
     assert any(not r["intra"] and r["inter_dir"] for r in recs)
     assert "MVL0={" in txt
+    # MV component order is {mvx, mvy} (dtrace_blockstatistics.cpp:624
+    # prints mv.hor then mv.ver): check a known CU's record against
+    # the maps' (x, y) storage order
+    for r in recs:
+        if not r["intra"] and r["inter_dir"] & 1:
+            g = (r["y"] // 4, r["x"] // 4)
+            assert r["mv0"] == (int(maps.mv0[g][0]),
+                                int(maps.mv0[g][1]))
+            break

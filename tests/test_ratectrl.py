@@ -75,3 +75,32 @@ def test_rate_control_stream_bitexact():
         np.testing.assert_array_equal(
             out[t * per:t * per + w * h].reshape(h, w).astype(int),
             res.recons[t].recon)
+
+
+def test_rlambda_ra_hierarchical_hits_target():
+    """R-lambda with hierarchical GOP allocation (RateCtrl.cpp:848/
+    1002 analogue) lands near the target bitrate on an RA encode with
+    per-CTU allocation enabled."""
+    w, h, n, fps = 192, 128, 33, 30
+    frames = mk(w, h, n)
+    cfg = hls.SeqConfig(width=w, height=h, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, min_qt_intra=8, min_qt_inter=8,
+                        log2_min_cu=3, qp=32, cu_qp_delta=True,
+                        num_reorder_pics=3, max_dec_pic_buffering=6)
+    # calibrate the target to content: what QP 32 spends, scaled
+    enc0 = gop.RandomAccessEncoder(cfg, gop_size=8, intra_period=16,
+                                   hierarchical_qp=True, search="fused",
+                                   me_range=8)
+    base = enc0.encode(frames, qp=32)
+    target_bps = len(base.bitstream) * 8 * fps / n * 0.8
+    gop_tids = [0, 3, 2, 3, 1, 3, 2, 3]
+    rc = RateController(target_bps, fps, w, h, gop_tids=gop_tids)
+    enc = gop.RandomAccessEncoder(cfg, gop_size=8, intra_period=16,
+                                  search="fused", me_range=8,
+                                  rate_control=rc)
+    res = enc.encode(frames, qp=32)
+    achieved = len(res.bitstream) * 8 * fps / n
+    assert abs(achieved - target_bps) / target_bps < 0.10, \
+        (achieved, target_bps)
+    # distinct per-level models adapted away from their init
+    assert "I" in rc.models and any(k != "I" for k in rc.models)
