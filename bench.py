@@ -149,6 +149,45 @@ def main():
     except Exception as e:                       # pragma: no cover
         print(f"quality leg failed: {e}", file=sys.stderr)
 
+    # FastInterCU leg: the repo's headline trade — the same RA encode
+    # with the MLT-CNN split hints ON vs OFF at the flagship shape
+    # (CTU 128, script_128/*.sh protocol analog). Shorter clip: the
+    # speedup/BD numbers need a matched pair, not the full run.
+    ckpt = os.path.join(ROOT, "checkpoints", "mlt_ctu128_r4")
+    if not os.path.isdir(ckpt):
+        ckpt = os.path.join(ROOT, "checkpoints", "mlt_ctu128_r3")
+    if os.path.isdir(ckpt):
+        try:
+            roff = ctc.measure(name="bench240", w=416, h=240, n=17,
+                               gop_size=32, intra_period=32,
+                               qps=(27, 32, 37), verbose=False)
+            ron = ctc.measure(name="bench240", w=416, h=240, n=17,
+                              gop_size=32, intra_period=32,
+                              qps=(27, 32, 37), verbose=False,
+                              hints_ckpt=ckpt)
+            speedup = ron["ours_fps"] / roff["ours_fps"]
+            extra.update({
+                "speedup_cnn": round(speedup, 3),
+                "bd_rate_cnn": round(ron["bd_rate_vs_vtm"], 3),
+                "bd_rate_cnn_off": round(roff["bd_rate_vs_vtm"], 3),
+            })
+            trade = {
+                "fps_hints_on": round(ron["ours_fps"], 4),
+                "fps_hints_off": round(roff["ours_fps"], 4),
+                "speedup": round(speedup, 4),
+                "bd_rate_on": round(ron["bd_rate_vs_vtm"], 3),
+                "bd_rate_off": round(roff["bd_rate_vs_vtm"], 3),
+                "ctu": 128, "mtt": 3, "clip": ron["clip"],
+            }
+            with open(os.path.join(ckpt, "deploy_trade.json"),
+                      "w") as f:
+                json.dump(trade, f, indent=1)
+            print(f"FastInterCU trade: speedup {speedup:.2f}x, "
+                  f"bd-rate {extra['bd_rate_cnn']}% (hints off: "
+                  f"{extra['bd_rate_cnn_off']}%)", file=sys.stderr)
+        except Exception as e:                   # pragma: no cover
+            print(f"cnn leg failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "encode_fps_256p_allintra",
         "value": round(fps, 4),

@@ -1709,12 +1709,20 @@ class FrameEncoder:
             return c
 
         best = (cost(dm, 2), dm, "dm", dm_joint)
-        for cm in (intra.LM_CHROMA_IDX, intra.MDLM_L_IDX,
-                   intra.MDLM_T_IDX):
-            outs = self._chroma_cclm(x, y, w, h, cm)
-            c = cost(outs, 2 if cm == intra.LM_CHROMA_IDX else 3)
-            if c < best[0]:
-                best = (c, outs, cm, 0)
+        outs = self._chroma_cclm(x, y, w, h, intra.LM_CHROMA_IDX)
+        c = cost(outs, 2)
+        lm_beats_dm = c < best[0]
+        if lm_beats_dm:
+            best = (c, outs, intra.LM_CHROMA_IDX, 0)
+        if lm_beats_dm:
+            # the directional MDLM variants are only competitive when
+            # the linear model already wins (VTM's SATD-ordered chroma
+            # candidate list reaches them in the same situation)
+            for cm in (intra.MDLM_L_IDX, intra.MDLM_T_IDX):
+                outs = self._chroma_cclm(x, y, w, h, cm)
+                c = cost(outs, 3)
+                if c < best[0]:
+                    best = (c, outs, cm, 0)
         return best[1], best[2], best[3]
 
     def _identical_motion(self, mi):
@@ -2538,7 +2546,9 @@ class FrameEncoder:
                 last_ok, _ = self._mts_scan_flags(q2)
                 if not last_ok:
                     continue   # DC-only: mts_idx not signallable
-                cost = self._coeff_cost_proxy(blk, recon2, q2)
+                # charge the mts_idx signalling the DCT2 choice skips
+                cost = self._coeff_cost_proxy(blk, recon2, q2) \
+                    + self.lam * (1.0 + idx)
                 if cost < best[0]:
                     best = (cost, idx, q2, recon2, cbf2)
             _, mts_idx, q, recon, cbf = best

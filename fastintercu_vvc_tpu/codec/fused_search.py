@@ -188,20 +188,40 @@ def _satd_nd(a, b, w, h):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _intra_leaf_class(plane, w, h):
-    """Best intra (mode, satd) over all 67 modes for one class grid.
-    Jitted per class: compiles are incremental and shared across CTU
-    configurations."""
+def _intra_leaf_class(plane, w, h, lam, hit_bits, miss_bits):
+    """Best intra (mode, cost incl. mode-rate) over all 67 modes for
+    one class grid. Two passes: a pure-SATD argmin builds an
+    approximate per-block MPM set (planar + left/top winners, like
+    the real list's leading entries), then the final argmin charges
+    each mode its estimated signalling rate — without this the
+    SATD-only winner is nearly always a non-MPM mode and the
+    truncated-binary index dominates the I-frame bit budget
+    (IntraLumaMpmFlag ~16% of bits). Jitted per class; compiles are
+    incremental and shared across CTU configurations."""
+    from ..ops import me_frame
+    H, W = plane.shape
+    ys, xs = me_frame.class_grid(H, W, w, h)
+    ny, nx = len(ys), len(xs)
     tops, lefts = _device_refs(plane, w, h)
     blocks = _device_blocks(plane, w, h)
     preds = intra_batch.predict_all_modes(tops, lefts, w, h)
     c = _satd_nd(preds, blocks[None], w, h)              # [67, N]
-    return (jnp.argmin(c, axis=0).astype(jnp.int32),
-            jnp.min(c, axis=0).astype(jnp.float32))
+    base = jnp.argmin(c, axis=0).astype(jnp.int32).reshape(ny, nx)
+    left_m = jnp.concatenate([base[:, :1], base[:, :-1]], axis=1)
+    top_m = jnp.concatenate([base[:1, :], base[:-1, :]], axis=0)
+    modes = jnp.arange(67)[:, None]                      # [67, 1]
+    is_mpm = ((modes == 0)
+              | (modes == left_m.reshape(-1)[None, :])
+              | (modes == top_m.reshape(-1)[None, :]))
+    rate = jnp.where(is_mpm, hit_bits, miss_bits)
+    cost = c.astype(jnp.float32) + lam * rate
+    return (jnp.argmin(cost, axis=0).astype(jnp.int32),
+            jnp.min(cost, axis=0).astype(jnp.float32))
 
 
-def _intra_leaf_device(plane, classes):
-    outs = [_intra_leaf_class(plane, w, h) for (w, h) in classes]
+def _intra_leaf_device(plane, classes, lam, hit_bits, miss_bits):
+    outs = [_intra_leaf_class(plane, w, h, lam, hit_bits, miss_bits)
+            for (w, h) in classes]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
 
@@ -245,8 +265,32 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     D = min(pc.max_mtt_depth, max_bt_depth)
     min_qt = pc.min_qt
     squares, geoms = _geometries(pc, cs, min_qt, D)
+    # MLT-CNN frame-level work pruning: the reference prunes per-CTU
+    # RDO recursion (setNewModeList); the batched analogue prunes the
+    # uniform class set — when most CTUs predict no-split (easy
+    # content, exactly where the paper reports its largest encode-time
+    # savings), the fine geometry classes are dropped from BOTH device
+    # legs and the DP. Per-CTU forced splits still apply in the walk.
+    if split_hints is not None and np.any(split_hints >= 0):
+        hv = split_hints[split_hints >= 0]
+        f0 = float(np.mean(hv == 0))
+        min_leaf = 32 if f0 >= 0.9 else 16 if f0 >= 0.6 else 0
+        if min_leaf:
+            geoms = [g for g in geoms
+                     if g[0] >= min_leaf and g[1] >= min_leaf]
+            squares = [s for s in squares if s >= min_leaf]
+            min_qt = max(min_qt, min_leaf)
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-    lam_satd = float(np.sqrt(lam))
+    # SATD-domain rate weight. The sqrt(lambda) weight VTM uses for
+    # same-size mode preselection underweights rate for PARTITION
+    # decisions: comparing J = D + lambda*R across partitions at equal
+    # area, the implied SATD-domain weight is ~Qstep (a constant
+    # factor above sqrt(lambda)) — without it the DP chases SATD noise
+    # into tiny CUs and B-frame skips collapse. RATE_SCALE calibrated
+    # on the CTC-shaped clip (bits/PSNR pareto).
+    import os as _os
+    rate_scale = float(_os.environ.get("FASTINTERCU_RATE_SCALE", "4"))
+    lam_satd = float(np.sqrt(lam)) * rate_scale
 
     ctx_slice = {hls.I_SLICE: contexts.I_SLICE,
                  hls.P_SLICE: contexts.P_SLICE,
@@ -254,17 +298,16 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     bank = contexts.init_bank(ctx_slice, qp)
     fb = bitest.bank_frac(bank)
     srate = bitest.SplitRate(bank, pc)
-    intra_bits = bitest.intra_mode_bits(fb)
     inter_slice = slice_type != hls.I_SLICE and ref_planes
     scale = float(1 << bitest.SCALE_BITS)
     if inter_slice:
         pred_mode_i = fb[ctx_ids.PredMode[0], 1] / scale   # intra in P/B
         pred_mode_p = fb[ctx_ids.PredMode[0], 0] / scale
         skip0 = fb[ctx_ids.SkipFlag[0], 0] / scale
-        intra_leaf_bits = intra_bits + pred_mode_i + skip0
+        intra_flags_bits = pred_mode_i + skip0
     else:
         pred_mode_p = 0.0
-        intra_leaf_bits = intra_bits
+        intra_flags_bits = 0.0
 
     classes = tuple(geoms)
     from ..ops import me_frame
@@ -278,7 +321,12 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     intra_classes = tuple(c for c in classes
                           if c[0] <= 64 and c[1] <= 64)
     use_mesh = mesh
-    iv, cv = _intra_leaf_device(jorg, intra_classes)
+    scale_f = float(1 << bitest.SCALE_BITS)
+    mpm_flag = fb[ctx_ids.IntraLumaMpmFlag[0]]
+    hit_bits = float(mpm_flag[1] / scale_f + 2.2)
+    miss_bits = float(mpm_flag[0] / scale_f + 5.95)
+    iv, cv = _intra_leaf_device(jorg, intra_classes, lam_satd,
+                                hit_bits, miss_bits)
     iv = np.asarray(iv)
     cv = np.asarray(cv)
 
@@ -290,7 +338,7 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         leaf[(w, h)] = {
             "imode": iv[off:off + n].reshape(len(ys), len(xs)),
             "icost": (cv[off:off + n].astype(np.float64)
-                      + lam_satd * intra_leaf_bits
+                      + lam_satd * intra_flags_bits
                       ).reshape(len(ys), len(xs)),
         }
         off += n
