@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -420,7 +421,15 @@ class FrameEncoder:
         self.qp_eff = qp + 6 * (bd - 8)
         ctab = chroma_qp_table(bd)
         self.qp_c_eff = int(ctab[qp + 6 * (bd - 8)]) + 6 * (bd - 8)
-        self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        # 0.57*2^((qp-12)/3) is the 8-bit-calibrated HM/VTM constant;
+        # our distortions are raw 10-bit SSD (16x the 8-bit scale), so
+        # lambda carries a bit-depth compensation. 8 (not the full 16)
+        # measured BD-optimal on the CTC-shaped clip — the marginal
+        # bits-per-dB of a further raise crosses the codec's own RD
+        # slope there (see PROGRESS round 4).
+        lam_scale = float(os.environ.get("FASTINTERCU_LAMBDA_SCALE",
+                                         "8"))
+        self.lam = 0.57 * 2.0 ** ((qp - 12) / 3.0) * lam_scale
 
     def _mf(self):
         """Motion-field neighbor view (WPP-restricted when active)."""
