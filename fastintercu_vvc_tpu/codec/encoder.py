@@ -1273,9 +1273,9 @@ class FrameEncoder:
                 fm = self.decisions.lookup_mode(x, y, w, h)
                 if fm is None:
                     fm = intra.PLANAR_IDX
-                if isinstance(fm, tuple) and (self.slice_type ==
-                                              hls.I_SLICE or
-                                              not self.refs):
+                if isinstance(fm, tuple) and fm and fm[0] == "inter" \
+                        and (self.slice_type == hls.I_SLICE
+                             or not self.refs):
                     fm = intra.PLANAR_IDX
                 self._encode_leaf(x, y, w, h, qt_depth, forced_mode=fm)
             return 0.0
@@ -2180,13 +2180,29 @@ class FrameEncoder:
         blk = self.org[y:y + h, x:x + w]
 
         if forced_mode is not None:
-            # batched-search decision: int -> intra mode;
-            # ("inter", mv_internal) -> L0 ref-0 AMVP with that MV
+            # batched-search decision: int or tuple of candidate ints
+            # -> intra; ("inter", spec) -> decision-driven inter leaf
             if isinstance(forced_mode, tuple) and \
                     forced_mode[0] == "inter":
                 return self._forced_inter_leaf(x, y, w, h, qt_depth,
                                                blk, forced_mode[1])
-            trial = self._eval_intra_mode(x, y, w, h, blk, forced_mode)
+            cands = forced_mode if isinstance(forced_mode, tuple) \
+                else (forced_mode,)
+            mpm = self._mpms(x, y, w, h)
+            best = None
+            for m in dict.fromkeys(int(m) for m in cands):
+                trial = self._eval_intra_mode(x, y, w, h, blk, m)
+                bits = 7.0 if m not in mpm else 2.0 + mpm.index(m)
+                for tu in trial["tus"]:
+                    q = tu.get("q")
+                    if q is not None and tu.get("cbf"):
+                        aq = np.abs(q)
+                        bits += 2.0 * int((aq > 0).sum()) + float(
+                            np.log2(aq[aq > 0] + 1).sum())
+                c = trial["ssd"] + self.lam * bits
+                if best is None or c < best[0]:
+                    best = (c, trial)
+            trial = best[1]
             self._write_leaf_intra(x, y, w, h, trial)
             self._commit_intra(x, y, w, h, qt_depth, trial)
             return trial["ssd"]

@@ -215,14 +215,18 @@ def _intra_leaf_class(plane, w, h, lam, hit_bits, miss_bits):
               | (modes == top_m.reshape(-1)[None, :]))
     rate = jnp.where(is_mpm, hit_bits, miss_bits)
     cost = c.astype(jnp.float32) + lam * rate
-    return (jnp.argmin(cost, axis=0).astype(jnp.int32),
-            jnp.min(cost, axis=0).astype(jnp.float32))
+    # top-3 candidate modes per block: the commit pass RD-screens them
+    # with real transforms (IntraSearch's candidate-list style instead
+    # of a single forced mode)
+    negc, top3 = jax.lax.top_k(-cost.T, 3)              # [N, 3]
+    return (top3.astype(jnp.int32),
+            (-negc[:, 0]).astype(jnp.float32))
 
 
 def _intra_leaf_device(plane, classes, lam, hit_bits, miss_bits):
     outs = [_intra_leaf_class(plane, w, h, lam, hit_bits, miss_bits)
             for (w, h) in classes]
-    return (jnp.concatenate([o[0] for o in outs]),
+    return (jnp.concatenate([o[0].reshape(-1) for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
 
 
@@ -336,7 +340,8 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         ys, xs = grids[(w, h)]
         n = len(ys) * len(xs)
         leaf[(w, h)] = {
-            "imode": iv[off:off + n].reshape(len(ys), len(xs)),
+            "imode": iv[3 * off:3 * (off + n)]
+            .reshape(len(ys), len(xs), 3),
             "icost": (cv[off:off + n].astype(np.float64)
                       + lam_satd * intra_flags_bits
                       ).reshape(len(ys), len(xs)),
@@ -346,7 +351,7 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         if (w, h) not in leaf:
             ys, xs = grids[(w, h)]
             leaf[(w, h)] = {
-                "imode": np.zeros((len(ys), len(xs)), np.int32),
+                "imode": np.zeros((len(ys), len(xs), 3), np.int32),
                 "icost": np.full((len(ys), len(xs)), 1e18),
             }
 
@@ -502,7 +507,8 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                         int(lv["mv1y"][by, bx])),
                 "mlike": bool(lv["mlike"][by, bx])})
         else:
-            dec_mode[(x, y, w, h)] = int(lv["imode"][by, bx])
+            dec_mode[(x, y, w, h)] = tuple(
+                int(m) for m in lv["imode"][by, bx])
 
     def walk_bt(x, y, w, h, d, var=0):
         sy, sx = strides[(w, h)]
@@ -584,7 +590,7 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     for sq in squares:
         lv = leaf[(sq, sq)]
         c = (sq, sq)
-        ent = {"imode": aligned(lv["imode"], c, sq)}
+        ent = {"imode": aligned(lv["imode"][..., 0], c, sq)}
         if inter_slice and lv.get("inter") is not None:
             for f in ("inter", "dir", "ref0", "mv0x", "mv0y",
                       "ref1", "mv1x", "mv1y", "mlike"):
