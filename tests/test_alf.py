@@ -206,6 +206,18 @@ def test_alf_chroma_aps_bitexact():
 
 @needs_oracle
 def test_ccalf_bitexact():
+    # tool-mechanics test: pin the legacy lambda so the RD calibration
+    # (FASTINTERCU_LAMBDA_SCALE) cannot price the tool out of selection
+    # on this tiny clip
+    import os
+    os.environ["FASTINTERCU_LAMBDA_SCALE"] = "1"
+    try:
+        _run_ccalf()
+    finally:
+        os.environ.pop("FASTINTERCU_LAMBDA_SCALE", None)
+
+
+def _run_ccalf():
     """CC-ALF: power-of-two cross-component filters signalled in the
     APS, per-CTB filter control, applied on top of chroma ALF from the
     pre-ALF luma — oracle bit-exact on all planes."""

@@ -52,6 +52,18 @@ def test_mip_predict_shapes_and_range():
 
 
 def test_mip_chosen_somewhere():
+    # tool-mechanics test: pin the legacy lambda so the RD calibration
+    # (FASTINTERCU_LAMBDA_SCALE) cannot price the tool out of selection
+    # on this tiny clip
+    import os
+    os.environ["FASTINTERCU_LAMBDA_SCALE"] = "1"
+    try:
+        _run_mip()
+    finally:
+        os.environ.pop("FASTINTERCU_LAMBDA_SCALE", None)
+
+
+def _run_mip():
     """On structured content some CTUs should pick MIP (else the tool
     is dead weight and the bitexact test proves nothing)."""
     cfg = hls.SeqConfig(width=128, height=64,
