@@ -433,17 +433,25 @@ def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
                                      c0, c1, cf0, cv0, cf1, cv1, lam,
                                      w, h, sr, bd,
                                      len(refs0), len(refs1))
+    # ONE packed download for each of (decisions, costs): per-array
+    # device->host fetches pay a full tunnel round trip each
+    iv_all = np.asarray(jnp.concatenate(
+        [pend[c][0] for c in classes]))
+    cv_all = np.asarray(jnp.concatenate(
+        [pend[c][1] for c in classes]))
     out = {}
+    ioff = coff = 0
     for (w, h) in classes:
         ys, xs = class_grid(H, W, w, h)
         nby, nbx = len(ys), len(xs)
         n = nby * nbx
-        iv, cv = pend[(w, h)]
-        f = np.asarray(iv).reshape(8, nby, nbx)
+        f = iv_all[ioff:ioff + 8 * n].reshape(8, nby, nbx)
+        ioff += 8 * n
         out[(w, h)] = {
-            "cost": np.asarray(cv).reshape(nby, nbx)
+            "cost": cv_all[coff:coff + n].reshape(nby, nbx)
             .astype(np.float64),
             "dir": f[0], "ref0": f[1], "mv0x": f[2], "mv0y": f[3],
             "ref1": f[4], "mv1x": f[5], "mv1y": f[6],
             "mlike": f[7].astype(bool)}
+        coff += n
     return out
