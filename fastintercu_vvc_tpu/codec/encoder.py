@@ -2530,8 +2530,9 @@ class FrameEncoder:
 
     def _native_intra_ok(self):
         """The native commit kernel covers the scalar-quant luma path
-        (no dep-quant, no SDH; MTS/TS trials handled in C)."""
-        if self.cfg.dep_quant or self._sdh_active():
+        incl. sign-data hiding (MTS/TS trials handled in C); only
+        dep-quant falls back to Python."""
+        if self.cfg.dep_quant:
             return False
         return native._ck() is not None
 
@@ -2548,7 +2549,7 @@ class FrameEncoder:
                 is_irap=self.slice_type == hls.I_SLICE,
                 mts_allowed=self._mts_allowed(w, h),
                 ts_allowed=self._ts_allowed(w, h), mrl=mrl,
-                xmax=self.wpp_xmax)
+                xmax=self.wpp_xmax, sdh=self._sdh_active())
             return self._finish_intra_trial(x, y, w, h, mode, mrl, q,
                                             recon, cbf, mts_idx, ts,
                                             ssd)
@@ -2917,7 +2918,7 @@ class FrameEncoder:
                     self.org, self.recon, self.maps.coded, tx, ty, tw,
                     th, mode, self.qp_eff, bd, self.lam,
                     is_irap=self.slice_type == hls.I_SLICE,
-                    xmax=self.wpp_xmax)
+                    xmax=self.wpp_xmax, sdh=self._sdh_active())
                 ssd += tssd
             else:
                 top, left = intra.build_refs_grid(

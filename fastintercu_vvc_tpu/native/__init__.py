@@ -18,7 +18,8 @@ _SO = os.path.join(_DIR, "libcabac.so")
 _SRCS = [os.path.join(_DIR, "cabac_engine.c"),
          os.path.join(_DIR, "residual_ops.c"),
          os.path.join(_DIR, "commit_kernel.c"),
-         os.path.join(_DIR, "depquant.c")]
+         os.path.join(_DIR, "depquant.c"),
+         os.path.join(_DIR, "loopfilter.c")]
 
 _lib = None
 
@@ -99,6 +100,14 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        lib.lf_deblock_frame.restype = ctypes.c_int
+        lib.lf_deblock_frame.argtypes = (
+            [_i32p, _i32p, _i32p, ctypes.c_int, ctypes.c_int]
+            + [_i32p] * 4 + [_u8p] * 4
+            + [_i32p, _i32p, _i32p, _i32p, ctypes.c_int]
+            + [_i32p] * 4
+            + [_u8p, _i32p, _i32p, _u8p]
+            + [ctypes.c_int] * 4)
         _lib = lib
         return lib
     except Exception:
@@ -132,6 +141,70 @@ def residual_ops(coeff, is_chroma: int, log2_cg_w: int, log2_cg_h: int,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
     assert n >= 0, f"residual_ops error {n}"
     return out[:n]
+
+
+def lf_deblock_frame(recon_y, recon_cb, recon_cr, info, qp, qp_c,
+                     bit_depth, ctu_size) -> bool:
+    """Native deblock_frame (loopfilter.c) over ops.deblock.DeblockInfo
+    arrays. Mutates the planes in place. -> True on success, False when
+    the native path is unavailable or partition inference failed (the
+    caller falls back to the Python twin)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    H, W = recon_y.shape
+
+    def i32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    def u8(a):
+        return np.ascontiguousarray(a, np.uint8)
+
+    ry = i32(recon_y)
+    rcb = i32(recon_cb) if recon_cb is not None else None
+    rcr = i32(recon_cr) if recon_cr is not None else None
+    cu = [i32(info.cu_x0), i32(info.cu_y0), i32(info.cu_w),
+          i32(info.cu_h)]
+    flags = [u8(info.is_intra), u8(info.cbf_y), u8(info.cbf_cb),
+             u8(info.cbf_cr)]
+    mv = i32(info.mv)
+    refp = i32(info.ref_poc)
+    mv1 = i32(info.mv1) if info.mv1 is not None else None
+    refp1 = i32(info.ref_poc1) if info.ref_poc1 is not None else None
+    tu = [i32(info.tu_x0) if info.tu_x0 is not None else None,
+          i32(info.tu_y0) if info.tu_y0 is not None else None,
+          i32(info.tu_w) if info.tu_w is not None else None,
+          i32(info.tu_h) if info.tu_h is not None else None]
+    sub = u8(info.sub_pu) if info.sub_pu is not None else None
+    qpm = i32(info.qp_map) if getattr(info, "qp_map", None) is not None \
+        else None
+    ctab = i32(info.chroma_tab) \
+        if getattr(info, "chroma_tab", None) is not None else None
+    isp = u8(info.isp) if info.isp is not None else None
+
+    def P(a, typ=ctypes.c_int32):
+        return a.ctypes.data_as(ctypes.POINTER(typ)) \
+            if a is not None else None
+
+    rc = lib.lf_deblock_frame(
+        P(ry), P(rcb), P(rcr), H, W,
+        P(cu[0]), P(cu[1]), P(cu[2]), P(cu[3]),
+        P(flags[0], ctypes.c_uint8), P(flags[1], ctypes.c_uint8),
+        P(flags[2], ctypes.c_uint8), P(flags[3], ctypes.c_uint8),
+        P(mv), P(refp), P(mv1), P(refp1),
+        1 if info.slice_is_b and mv1 is not None else 0,
+        P(tu[0]), P(tu[1]), P(tu[2]), P(tu[3]),
+        P(sub, ctypes.c_uint8), P(qpm), P(ctab),
+        P(isp, ctypes.c_uint8),
+        int(qp), int(qp_c), int(bit_depth), int(ctu_size))
+    if rc != 0:
+        return False
+    recon_y[:] = ry
+    if recon_cb is not None:
+        recon_cb[:] = rcb
+    if recon_cr is not None:
+        recon_cr[:] = rcr
+    return True
 
 
 def cabac_exec_live(enc, ops: np.ndarray) -> None:
@@ -226,9 +299,10 @@ def _i32p(a):
 
 def eval_intra(org, recon, coded, x, y, w, h, mode, qp_eff, bd, lam,
                is_irap=False, mts_allowed=False, ts_allowed=False,
-               mrl=0, xmax=None):
-    """Native _eval_intra_mode core (luma, scalar quant): refs ->
-    predict -> (MTS/TS trials) -> T/Q/IQ/IT -> recon block.
+               mrl=0, xmax=None, sdh=False):
+    """Native _eval_intra_mode core (luma, scalar quant + optional
+    sign-data hiding): refs -> predict -> (MTS/TS trials) ->
+    T/Q[/SDH]/IQ/IT -> recon block.
     -> (q [h,w], recon [h,w], cbf, mts_idx, ts, ssd)."""
     lib = _ck()
     gh, gw = coded.shape
@@ -237,7 +311,7 @@ def eval_intra(org, recon, coded, x, y, w, h, mode, qp_eff, bd, lam,
     meta = np.zeros(3, np.int32)
     ssd = np.zeros(1, np.float64)
     flags = (1 if is_irap else 0) | ((1 if mts_allowed else 0) << 1) \
-        | ((1 if ts_allowed else 0) << 2)
+        | ((1 if ts_allowed else 0) << 2) | ((1 if sdh else 0) << 3)
     lib.ck_eval_intra(
         _i32p(org), _i32p(recon), org.shape[1], org.shape[0],
         coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), gw, gh,

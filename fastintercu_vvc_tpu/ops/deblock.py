@@ -19,6 +19,7 @@ Pallas variant will mirror this math.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -400,12 +401,30 @@ def _cu_coding_order(info: DeblockInfo, x, y, w, h, out):
 
 def deblock_frame(recon_y: np.ndarray, recon_cb, recon_cr,
                   info: DeblockInfo, qp: int, qp_chroma: int,
-                  bit_depth: int = 10, ctu_size: int = 64):
+                  bit_depth: int = 10, ctu_size: int = 64,
+                  force_python: bool = False):
     """In-place deblocking of a frame (both passes).
 
     qp: luma QP (without bd offset); qp_chroma: mapped chroma QP
     (without bd offset) used for tc/beta lookup on chroma edges.
+
+    Dispatches to the native C port (native/loopfilter.c, bit-exact
+    twin of this file) when available; force_python pins the readable
+    numpy path (tests cross-check the two).
     """
+    if not force_python and not os.environ.get("FASTINTERCU_PY_DEBLOCK"):
+        from .. import native
+        if native.lf_deblock_frame(recon_y, recon_cb, recon_cr, info,
+                                   qp, qp_chroma, bit_depth, ctu_size):
+            return
+    _deblock_frame_py(recon_y, recon_cb, recon_cr, info, qp, qp_chroma,
+                      bit_depth, ctu_size)
+
+
+def _deblock_frame_py(recon_y: np.ndarray, recon_cb, recon_cr,
+                      info: DeblockInfo, qp: int, qp_chroma: int,
+                      bit_depth: int = 10, ctu_size: int = 64):
+    """Readable numpy twin (source of truth for the C port)."""
     H, W = recon_y.shape
     clip_hi = (1 << bit_depth) - 1
     bdscale = 1 << (bit_depth - 8)

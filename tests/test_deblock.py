@@ -85,3 +85,80 @@ def test_deblock_420_gop_bitexact(min_qt):
             f[w * h:w * h + cs].reshape(h // 2, w // 2), rr.recon_cb)
         np.testing.assert_array_equal(
             f[w * h + cs:].reshape(h // 2, w // 2), rr.recon_cr)
+
+
+def test_native_deblock_matches_python():
+    """native/loopfilter.c is a bit-exact twin of the numpy deblocker
+    on a real encoded frame (inter + chroma + TU geometry)."""
+    from fastintercu_vvc_tpu.ops import deblock
+    from fastintercu_vvc_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    captured = []
+    orig = deblock.deblock_frame
+
+    def cap(ry, rcb, rcr, info, qp, qpc, bit_depth=10, ctu_size=64,
+            force_python=False):
+        y0 = ry.copy()
+        cb0 = rcb.copy() if rcb is not None else None
+        cr0 = rcr.copy() if rcr is not None else None
+        deblock._deblock_frame_py(ry, rcb, rcr, info, qp, qpc,
+                                  bit_depth, ctu_size)
+        ryn = y0.copy()
+        rcbn = cb0.copy() if cb0 is not None else None
+        rcrn = cr0.copy() if cr0 is not None else None
+        ok = native.lf_deblock_frame(ryn, rcbn, rcrn, info, qp, qpc,
+                                     bit_depth, ctu_size)
+        assert ok
+        assert np.array_equal(ry, ryn)
+        if rcb is not None:
+            assert np.array_equal(rcb, rcbn)
+            assert np.array_equal(rcr, rcrn)
+        captured.append(1)
+
+    deblock.deblock_frame = cap
+    try:
+        w, h = 128, 96
+        rng = np.random.RandomState(11)
+        frames = []
+        base = _content(w, h)
+        for t in range(3):
+            y = np.roll(base, 2 * t, axis=1)
+            u = np.clip(512 + (y[::2, ::2] - 512) // 4, 0, 1023)
+            v = np.clip(512 - (y[::2, ::2] - 512) // 5, 0, 1023)
+            frames.append((y, u, v))
+        cfg = hls.SeqConfig(width=w, height=h,
+                            chroma_format=hls.CHROMA_420, ctu_size=64,
+                            log2_min_cu=3,
+                            deblocking=True, sao=False, alf=False,
+                            sign_data_hiding=True)
+        enc = gop.SequenceEncoder(cfg, num_refs=1)
+        enc.encode(frames, qp=30)
+    finally:
+        deblock.deblock_frame = orig
+    assert captured, "deblock never invoked"
+
+
+def test_native_intra_sdh_matches_python():
+    """ck_eval_intra with the SDH flag == the numpy _tq path
+    (bitstream-identical I-frame)."""
+    from fastintercu_vvc_tpu import native as nat
+    if nat._ck() is None:
+        pytest.skip("native lib unavailable")
+    org = _content(128, 64, seed=5)
+    cfg = hls.SeqConfig(width=128, height=64,
+                        chroma_format=hls.CHROMA_400, ctu_size=64,
+                        sign_data_hiding=True, mts_intra=True,
+                        deblocking=False, sao=False, alf=False)
+    fe = encoder.FrameEncoder(cfg)
+    r1 = fe.encode_frame(org, poc=0, qp=30, slice_type=hls.I_SLICE)
+    orig_ck = nat._ck
+    nat._ck = lambda: None
+    try:
+        fe2 = encoder.FrameEncoder(cfg)
+        r2 = fe2.encode_frame(org, poc=0, qp=30, slice_type=hls.I_SLICE)
+    finally:
+        nat._ck = orig_ck
+    assert r1.bitstream == r2.bitstream
+    assert np.array_equal(r1.recon, r2.recon)
