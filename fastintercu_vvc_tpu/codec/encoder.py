@@ -1529,6 +1529,13 @@ class FrameEncoder:
         the decoder's inverse scaling. -> (outs, joint_mask)."""
         from ..ops import lmcs as lmcs_ops
         bd = self.cfg.bit_depth
+        if self._native_intra_ok() and blk_cb.shape[0] <= 32 \
+                and blk_cb.shape[1] <= 32:
+            return native.pair_eval(
+                blk_cb, pred_cb, blk_cr, pred_cr, self.qp_c_eff, bd,
+                self.lam, is_irap=self.slice_type == hls.I_SLICE,
+                sdh=self._sdh_active(), joint_cbcr=self.cfg.joint_cbcr,
+                intra_cu=intra_cu, lmcs_scale=lmcs_scale)
 
         def tq_pair(blk, pred):
             return self._tq_chroma(blk, pred, lmcs_scale)
@@ -1699,7 +1706,23 @@ class FrameEncoder:
 
     def _best_chroma_intra(self, x, y, w, h, luma_mode):
         """Choose DM vs the three CCLM modes by chroma RD proxy.
-        -> (outs, chroma_mode, joint_cbcr_mask)."""
+        -> (outs, chroma_mode, joint_cbcr_mask).
+
+        Dispatches to the native chroma kernel (chroma_kernel.c,
+        bit-exact twin incl. CCLM/MDLM, joint-CbCr ICT and LMCS
+        residual scaling) when available."""
+        if self._native_intra_ok() and w <= 64 and h <= 64 \
+                and isinstance(luma_mode, (int, np.integer)) \
+                and 0 <= luma_mode <= 66:
+            return native.eval_chroma(
+                self.org_cb, self.org_cr, self.recon_cb, self.recon_cr,
+                self.recon, self.maps.coded, x, y, w, h, luma_mode,
+                self.qp_c_eff, self.cfg.bit_depth, self.lam,
+                is_irap=self.slice_type == hls.I_SLICE,
+                sdh=self._sdh_active(), joint_cbcr=self.cfg.joint_cbcr,
+                cclm=self.cfg.cclm, xmax=self.wpp_xmax,
+                ctu_size=self.cfg.ctu_size,
+                lmcs_scale=self._lmcs_scale_at(x, y))
         dm, dm_joint = self._chroma_intra(x, y, w, h, luma_mode)
         if not self.cfg.cclm:
             return dm, "dm", dm_joint

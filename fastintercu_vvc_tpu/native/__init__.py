@@ -19,7 +19,8 @@ _SRCS = [os.path.join(_DIR, "cabac_engine.c"),
          os.path.join(_DIR, "residual_ops.c"),
          os.path.join(_DIR, "commit_kernel.c"),
          os.path.join(_DIR, "depquant.c"),
-         os.path.join(_DIR, "loopfilter.c")]
+         os.path.join(_DIR, "loopfilter.c"),
+         os.path.join(_DIR, "chroma_kernel.c")]
 
 _lib = None
 
@@ -100,6 +101,21 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        lib.ck_eval_chroma.restype = None
+        lib.ck_eval_chroma.argtypes = (
+            [_i32p] * 4 + [ctypes.c_int] * 2          # chroma planes, Wc, Hc
+            + [_i32p, ctypes.c_int, ctypes.c_int]      # recon_y, W, H
+            + [_u8p, ctypes.c_int, ctypes.c_int]       # coded, gw, gh
+            + [ctypes.c_int] * 4                       # x y w h
+            + [ctypes.c_int] * 7                       # mode qp bd flags xmax ctu lmcs
+            + [ctypes.c_double]                        # lam
+            + [_i32p] * 4                              # q_cb q_cr rec_cb rec_cr
+            + [_i32p, ctypes.POINTER(ctypes.c_double)])
+        lib.ck_pair_eval.restype = None
+        lib.ck_pair_eval.argtypes = (
+            [_i32p] * 4 + [ctypes.c_int] * 5 + [ctypes.c_int]
+            + [ctypes.c_double] + [_i32p] * 4
+            + [_i32p, ctypes.POINTER(ctypes.c_double)])
         lib.lf_deblock_frame.restype = ctypes.c_int
         lib.lf_deblock_frame.argtypes = (
             [_i32p, _i32p, _i32p, ctypes.c_int, ctypes.c_int]
@@ -321,6 +337,78 @@ def eval_intra(org, recon, coded, x, y, w, h, mode, qp_eff, bd, lam,
         ssd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return (q, rec, bool(meta[0]), int(meta[1]), bool(meta[2]),
             float(ssd[0]))
+
+
+def eval_chroma(org_cb, org_cr, rec_cb, rec_cr, recon_y, coded,
+                x, y, w, h, luma_mode, qp_c, bd, lam, is_irap=False,
+                sdh=False, joint_cbcr=False, cclm=False, xmax=None,
+                ctu_size=64, lmcs_scale=None):
+    """Native _best_chroma_intra (chroma_kernel.c): DM vs CCLM/MDLM by
+    RD proxy, with joint-CbCr ICT and LMCS chroma residual scaling.
+    -> (outs, chroma_mode, joint_mask) in the encoder's format:
+    outs = [(q_or_None, recon, cbf, ssd) x2], chroma_mode = "dm" | LM
+    mode int."""
+    lib = _ck()
+    gh, gw = coded.shape
+    Hc, Wc = rec_cb.shape
+    hc, wc = h // 2, w // 2
+    q_cb = np.empty((hc, wc), np.int32)
+    q_cr = np.empty((hc, wc), np.int32)
+    orec_cb = np.empty((hc, wc), np.int32)
+    orec_cr = np.empty((hc, wc), np.int32)
+    meta = np.zeros(6, np.int32)
+    ssds = np.zeros(2, np.float64)
+    flags = ((1 if is_irap else 0) | ((1 if sdh else 0) << 1)
+             | ((1 if joint_cbcr else 0) << 2)
+             | ((1 if cclm else 0) << 3))
+    lib.ck_eval_chroma(
+        _i32p(org_cb), _i32p(org_cr), _i32p(rec_cb), _i32p(rec_cr),
+        Wc, Hc, _i32p(recon_y), recon_y.shape[1], recon_y.shape[0],
+        coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), gw, gh,
+        x, y, w, h, int(luma_mode), int(qp_c), bd, flags,
+        -1 if xmax is None else int(xmax), int(ctu_size),
+        0 if lmcs_scale is None else int(lmcs_scale), float(lam),
+        _i32p(q_cb), _i32p(q_cr), _i32p(orec_cb), _i32p(orec_cr),
+        _i32p(meta), ssds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    outs = [(q_cb if meta[4] else None, orec_cb, bool(meta[2]),
+             float(ssds[0])),
+            (q_cr if meta[5] else None, orec_cr, bool(meta[3]),
+             float(ssds[1]))]
+    mode = "dm" if meta[0] == 0 else int(meta[0])
+    return outs, mode, int(meta[1])
+
+
+def pair_eval(blk_cb, pred_cb, blk_cr, pred_cr, qp_c, bd, lam,
+              is_irap=False, sdh=False, joint_cbcr=False,
+              intra_cu=False, lmcs_scale=None):
+    """Native _chroma_pair_eval twin over explicit block/pred arrays
+    (inter chroma path). -> (outs, joint_mask)."""
+    lib = _ck()
+    hc, wc = blk_cb.shape
+    q_cb = np.empty((hc, wc), np.int32)
+    q_cr = np.empty((hc, wc), np.int32)
+    orec_cb = np.empty((hc, wc), np.int32)
+    orec_cr = np.empty((hc, wc), np.int32)
+    meta = np.zeros(6, np.int32)
+    ssds = np.zeros(2, np.float64)
+    flags = ((1 if is_irap else 0) | ((1 if sdh else 0) << 1)
+             | ((1 if joint_cbcr else 0) << 2)
+             | ((1 if intra_cu else 0) << 3))
+    bcb = np.ascontiguousarray(blk_cb, np.int32)
+    pcb = np.ascontiguousarray(pred_cb, np.int32)
+    bcr = np.ascontiguousarray(blk_cr, np.int32)
+    pcr = np.ascontiguousarray(pred_cr, np.int32)
+    lib.ck_pair_eval(
+        _i32p(bcb), _i32p(pcb), _i32p(bcr), _i32p(pcr),
+        wc, hc, int(qp_c), bd, flags,
+        0 if lmcs_scale is None else int(lmcs_scale), float(lam),
+        _i32p(q_cb), _i32p(q_cr), _i32p(orec_cb), _i32p(orec_cr),
+        _i32p(meta), ssds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    outs = [(q_cb if meta[4] else None, orec_cb, bool(meta[2]),
+             float(ssds[0])),
+            (q_cr if meta[5] else None, orec_cr, bool(meta[3]),
+             float(ssds[1]))]
+    return outs, int(meta[1])
 
 
 def mode_sads(org, recon, coded, x, y, w, h, bd, modes, xmax=None):

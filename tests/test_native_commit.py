@@ -126,3 +126,39 @@ def test_mode_sads_matches_predict():
         p = intra.predict(m, top, left, w, h, BD)
         assert np.array_equal(preds[i], p), m
         assert sads[i] == int(np.abs(blk - p).sum())
+
+
+def test_native_chroma_kernel_bitstream_identity():
+    """ck_eval_chroma / ck_pair_eval == the Python chroma path:
+    identical bitstream over a small GOP with CCLM + joint-CbCr +
+    LMCS + SDH active."""
+    import numpy as np
+    from fastintercu_vvc_tpu.codec import gop, hls
+    from fastintercu_vvc_tpu import native as nat
+    if nat._ck() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(3)
+    W, H = 128, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    y0 = np.clip(380 + 260 * np.sin(xx / 11.0) * np.cos(yy / 8.0)
+                 + rng.randint(-20, 20, (H, W)), 0, 1023).astype(np.int32)
+    frames = []
+    for t in range(2):
+        y = np.roll(y0, 2 * t, axis=1)
+        u = np.clip(512 + (y[::2, ::2] - 512) // 3, 0, 1023)
+        v = np.clip(512 - (y[::2, ::2] - 512) // 4, 0, 1023)
+        frames.append((y, u, v))
+    cfg = hls.SeqConfig(width=W, height=H, chroma_format=hls.CHROMA_420,
+                        ctu_size=64, log2_min_cu=3,
+                        sign_data_hiding=True, mts_intra=True,
+                        cclm=True, joint_cbcr=True, lmcs=True,
+                        deblocking=True, sao=False, alf=False)
+    r1 = gop.SequenceEncoder(cfg, num_refs=1).encode(frames, qp=30)
+    orig = nat._ck
+    nat._ck = lambda: None
+    try:
+        r2 = gop.SequenceEncoder(cfg, num_refs=1).encode(frames, qp=30)
+    finally:
+        nat._ck = orig
+    assert r1.bitstream == r2.bitstream
