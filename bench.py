@@ -179,7 +179,10 @@ def main():
                 "bd_rate_off": round(roff["bd_rate_vs_vtm"], 3),
                 "ctu": 128, "mtt": 3, "clip": ron["clip"],
             }
-            with open(os.path.join(ckpt, "deploy_trade.json"),
+            # bench-output path: never mutate a prior round's
+            # committed checkpoint artifact (ADVICE r4 #2)
+            trade["ckpt"] = os.path.basename(ckpt)
+            with open(os.path.join(ROOT, "deploy_trade_bench.json"),
                       "w") as f:
                 json.dump(trade, f, indent=1)
             print(f"FastInterCU trade: speedup {speedup:.2f}x, "

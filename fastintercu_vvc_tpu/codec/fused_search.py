@@ -231,6 +231,58 @@ def _intra_leaf_device(plane, classes, lam, hit_bits, miss_bits):
 
 
 # ---------------------------------------------------------------------------
+# single-dispatch whole-frame search: SAD maps + coarse field + every
+# intra and inter class evaluated inside ONE jitted program, with the
+# decisions and costs packed into four flat vectors (two downloads).
+# The per-class jits above remain the building blocks (jit-of-jit
+# inlines into the one program) and the fallback for the sharded path.
+# Rationale: the axon tunnel charges per dispatch and per
+# device->host fetch; at ~40 dispatches + 4 fetches per frame the
+# warm RA search spent 4.4 s/frame on orchestration (round-5 TPU
+# phase timing) against microseconds of actual TPU compute.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intra_classes", "iclasses", "sr", "bd",
+                     "n0", "n1"))
+def _search_device_all(jorg, refs0, refs1, cf0, cv0, cf1, cv1,
+                       lam_intra, hit_bits, miss_bits, lam_inter, *,
+                       intra_classes, iclasses, sr, bd, n0, n1):
+    from ..ops import me_frame
+    iv_i, cv_i = _intra_leaf_device(jorg, intra_classes, lam_intra,
+                                    hit_bits, miss_bits)
+    if n0 == 0:
+        return iv_i, cv_i, jnp.zeros((0,), jnp.int32), \
+            jnp.zeros((0,), jnp.float32)
+    pads0 = jnp.stack([jnp.pad(refs0[i], me_frame.PAD, mode="edge")
+                       for i in range(n0)])
+    s80 = jnp.stack([me_frame.sad_map(jorg, refs0[i], sr)
+                     for i in range(n0)])
+    c0 = me_frame._coarse_best(jorg, [refs0[i] for i in range(n0)], sr)
+    ii0 = me_frame._integral(s80)
+    if n1 > 0:
+        pads1 = jnp.stack([jnp.pad(refs1[i], me_frame.PAD, mode="edge")
+                           for i in range(n1)])
+        s81 = jnp.stack([me_frame.sad_map(jorg, refs1[i], sr)
+                         for i in range(n1)])
+        c1 = me_frame._coarse_best(jorg,
+                                   [refs1[i] for i in range(n1)], sr)
+        ii1 = me_frame._integral(s81)
+    else:
+        pads1, ii1, c1 = pads0, ii0, c0
+    iv_parts, cv_parts = [], []
+    for (w, h) in iclasses:
+        iv2, cv2 = me_frame._class_device_body(
+            jorg, pads0, pads1, ii0, ii1, c0, c1, cf0, cv0, cf1, cv1,
+            lam_inter, w, h, sr, bd, n0, n1)
+        iv_parts.append(iv2)
+        cv_parts.append(cv2)
+    return (iv_i, cv_i, jnp.concatenate(iv_parts),
+            jnp.concatenate(cv_parts))
+
+
+# ---------------------------------------------------------------------------
 # host: leaf costs -> DP -> decision walk
 
 
@@ -329,10 +381,63 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
     mpm_flag = fb[ctx_ids.IntraLumaMpmFlag[0]]
     hit_bits = float(mpm_flag[1] / scale_f + 2.2)
     miss_bits = float(mpm_flag[0] / scale_f + 5.95)
-    iv, cv = _intra_leaf_device(jorg, intra_classes, lam_satd,
-                                hit_bits, miss_bits)
-    iv = np.asarray(iv)
-    cv = np.asarray(cv)
+    # ---- gather reference planes / collocated fields up front (both
+    # device paths need them)
+    iclasses = tuple(g for g in classes if g[0] >= 8 and g[1] >= 8)
+    refs0, r0map, refs1, r1map = [], [], [], []
+    c0l, c1l = [], []
+    if inter_slice:
+        h8, w8 = H // 8, W // 8
+        none_colf = (np.zeros((h8, w8, 2), np.int32),
+                     np.zeros((h8, w8), bool))
+        for k, (lst, ridx, plane) in enumerate(ref_planes):
+            p = _pad_to_ctu(np.asarray(plane, np.int32), cs)
+            colf = (col_fields[k] if col_fields is not None
+                    and k < len(col_fields) else None)
+            # keep c0/c1 index-aligned with refs0/refs1: a missing
+            # collocated field becomes an all-invalid placeholder
+            # (ADVICE r4 #3)
+            if lst == 0:
+                refs0.append(p)
+                r0map.append(ridx)
+                c0l.append(colf if colf is not None else none_colf)
+            else:
+                refs1.append(p)
+                r1map.append(ridx)
+                c1l.append(colf if colf is not None else none_colf)
+
+    res = None
+    if use_mesh is None:
+        # single-dispatch path: everything in one jitted program, two
+        # packed downloads
+        from ..ops import me_frame as mf
+        n0, n1 = len(refs0), len(refs1)
+
+        def stack_or_dummy(planes):
+            if planes:
+                return jnp.stack([jnp.asarray(p) for p in planes])
+            return jorg[None]
+
+        cf0, cv0 = mf.pack_col_fields(c0l, n0, H, W)
+        cf1, cv1 = mf.pack_col_fields(c1l, n1, H, W)
+        r1arr = stack_or_dummy(refs1) if refs1 else stack_or_dummy(refs0)
+        iv_i, cv_i, iv2, cv2 = _search_device_all(
+            jorg, stack_or_dummy(refs0), r1arr, cf0, cv0, cf1, cv1,
+            lam_satd, hit_bits, miss_bits, lam_satd,
+            intra_classes=intra_classes,
+            iclasses=iclasses if inter_slice else (),
+            sr=int(me_range), bd=10, n0=n0, n1=n1)
+        iv = np.asarray(iv_i)
+        cv = np.asarray(cv_i)
+        if inter_slice:
+            res = mf.unpack_class_results(np.asarray(iv2),
+                                          np.asarray(cv2), iclasses,
+                                          H, W)
+    else:
+        iv, cv = _intra_leaf_device(jorg, intra_classes, lam_satd,
+                                    hit_bits, miss_bits)
+        iv = np.asarray(iv)
+        cv = np.asarray(cv)
 
     leaf = {}
     off = 0
@@ -356,27 +461,12 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
             }
 
     # ---- inter leg (all classes: the SAD base grid is 8x8)
-    iclasses = tuple(g for g in classes if g[0] >= 8 and g[1] >= 8)
     if inter_slice:
-        refs0, r0map, refs1, r1map = [], [], [], []
-        c0, c1 = [], []
-        for k, (lst, ridx, plane) in enumerate(ref_planes):
-            p = _pad_to_ctu(np.asarray(plane, np.int32), cs)
-            colf = (col_fields[k] if col_fields is not None
-                    and k < len(col_fields) else None)
-            if lst == 0:
-                refs0.append(p)
-                r0map.append(ridx)
-                if colf is not None:
-                    c0.append(colf)
-            else:
-                refs1.append(p)
-                r1map.append(ridx)
-                if colf is not None:
-                    c1.append(colf)
-        res = me_frame.inter_frame_search(
-            org_p, refs0, refs1, c0, c1, iclasses, qp,
-            sr=int(me_range), bd=10, mesh=use_mesh)
+        if res is None:       # sharded path (mesh-driven SAD maps)
+            res = me_frame.inter_frame_search(
+                org_p, refs0, refs1, c0l, c1l, iclasses, qp,
+                sr=int(me_range), bd=10, mesh=use_mesh,
+                lam_satd=lam_satd)
         r0m = np.asarray(r0map or [0], np.int32)
         r1m = np.asarray(r1map or [0], np.int32)
         for (w, h) in iclasses:

@@ -41,6 +41,7 @@ class RateController:
         self.models = {}
         self.surplus = 0.0        # allocated-but-unspent bits
         self.last_qp: int | None = None
+        self.last_inter_qp: int | None = None
         self._last_lambda: float | None = None
         self._last_key = 0
         self._hier = bool(gop_tids)
@@ -83,8 +84,13 @@ class RateController:
         alpha, beta = self._model(key)
         lam = min(max(alpha * (bpp ** beta), 0.1), 10000.0)
         qp = int(round(4.2005 * math.log(lam) + 13.7122))
-        if self.last_qp is not None and not is_intra:
-            qp = min(max(qp, self.last_qp - 5), self.last_qp + 5)
+        if self.last_inter_qp is not None and not is_intra:
+            # clamp vs the previous INTER QP: intra pictures run much
+            # lower and would otherwise drag the first post-intra
+            # inter frame down, oscillating QP each intra period
+            # (ADVICE r4 #5)
+            qp = min(max(qp, self.last_inter_qp - 5),
+                     self.last_inter_qp + 5)
         qp = min(max(qp, self.min_qp), self.max_qp)
         self._last_lambda = lam
         self._pending_target = target
@@ -93,6 +99,8 @@ class RateController:
     # ---- model adaptation (updateAfterPicture) ----
     def update(self, qp_used: int, bits_used: int):
         self.last_qp = qp_used
+        if self._last_key != "I":
+            self.last_inter_qp = qp_used
         # buffer: every frame contributes the average allocation and
         # pays what it spent (intra overshoot borrows from the future)
         self.surplus += self.avg_bits - bits_used

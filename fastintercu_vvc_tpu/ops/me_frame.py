@@ -117,20 +117,31 @@ def _mv_bits(mvx, mvy, pmx, pmy):
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def sad_map(org, ref, sr, bs=8):
     """[K, nby, nbx] int32: SAD of every aligned bs x bs block at every
-    integer displacement in [-sr, sr]^2 (K = (2sr+1)^2, dy-major)."""
+    integer displacement in [-sr, sr]^2 (K = (2sr+1)^2, dy-major).
+
+    Batched by displacement ROW: a serial lax.map over all (2sr+1)^2
+    displacements dominated the whole-frame search wall time on TPU
+    (~2000 sequential micro-steps per frame); one vmap'd row of 2sr+1
+    column shifts keeps the intermediate at (2sr+1) x H x W (~13 MB at
+    416x240, sr 16) while cutting the sequential depth to 2sr+1."""
     H, W = org.shape
+    side = 2 * sr + 1
     pad = jnp.pad(ref, sr, mode="edge")
-    offs = jnp.arange(-sr, sr + 1)
-    dyx = jnp.stack(jnp.meshgrid(offs, offs, indexing="ij"),
-                    -1).reshape(-1, 2)
+    offs = jnp.arange(side)
+    orgi = org.astype(jnp.int32)
 
-    def sad_of(off):
-        win = jax.lax.dynamic_slice(pad, (sr + off[0], sr + off[1]),
-                                    (H, W))
-        d = jnp.abs(org.astype(jnp.int32) - win.astype(jnp.int32))
-        return d.reshape(H // bs, bs, W // bs, bs).sum(axis=(1, 3))
+    def row(dy):
+        strip = jax.lax.dynamic_slice(pad, (dy, 0), (H, W + 2 * sr))
 
-    return jax.lax.map(sad_of, dyx)
+        def col(dx):
+            win = jax.lax.dynamic_slice(strip, (0, dx), (H, W))
+            d = jnp.abs(orgi - win.astype(jnp.int32))
+            return d.reshape(H // bs, bs, W // bs, bs).sum(axis=(1, 3))
+
+        return jax.vmap(col)(offs)
+
+    return jax.lax.map(row, offs).reshape(side * side, H // bs,
+                                          W // bs)
 
 
 def _downsample4(p):
@@ -176,6 +187,47 @@ def _best_from_map(smap, sr):
 # the per-frame search kernel
 
 
+def mc_frac_batch_t(pads, ref_sel, py, px, mvx, mvy, h, w, bd=10):
+    """Lanes-last batched luma MC: [M] blocks -> [h, w, M] int32.
+
+    Bit-identical math to mc_frac_batch but with the block dimension
+    MINOR: the gather window is [h+7, w+7, M] so the 128-wide vector
+    lanes run across blocks (M ~ 10^3) instead of across a (w+7)-
+    sample row (8..23 samples -> >80% lane waste) — the layout fix
+    that took the per-class candidate screen from ~300 ms to the
+    single-digit-ms range on TPU.
+    """
+    ix = px + (mvx >> 4) - 3
+    iy = py + (mvy >> 4) - 3
+    fx = mvx & 15
+    fy = mvy & 15
+    rows = iy[None, :] + jnp.arange(h + 7)[:, None]       # [h+7, M]
+    cols = ix[None, :] + jnp.arange(w + 7)[:, None]       # [w+7, M]
+    win = pads[ref_sel[None, None, :], rows[:, None, :],
+               cols[None, :, :]].astype(jnp.int32)        # [h+7, w+7, M]
+    head = IF_INTERNAL_PREC - bd
+    shift1 = IF_FILTER_PREC - head
+    off1 = -IF_INTERNAL_OFFS << shift1
+    shift2 = IF_FILTER_PREC + head
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+    taps = jnp.asarray(LUMA_FILTER)
+    tx = taps[fx]                                         # [M, 8]
+    ty = taps[fy]
+    tmp = sum(win[:, k:k + w, :] * tx[:, k][None, None, :]
+              for k in range(8))
+    tmp = (tmp + off1) >> shift1
+    acc = sum(tmp[k:k + h, :, :] * ty[:, k][None, None, :]
+              for k in range(8))
+    out = (acc + off2) >> shift2
+    return jnp.clip(out, 0, (1 << bd) - 1)
+
+
+def _satd_t(a, b, w, h):
+    if w >= 8 and h >= 8:
+        return rdcost.satd_t(a, b)
+    return rdcost.satd4_t(a, b)
+
+
 def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
               w, h, sr, bd, lam, n_ref, ref_bits):
     """One reference list for one class: candidate screen + refinement.
@@ -188,16 +240,24 @@ def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
     col_field/col_valid: [n_ref, H8, W8, 2] / [n_ref, H8, W8]
     collocated candidates (internal units) per target ref.
     -> dict(mv [N,2] internal, ref [N], cost [N], bits [N], mlike [N],
-            pred [N,h,w])
+            pred [h,w,N] lanes-last, blocks [h,w,N])
+
+    TPU shape discipline: every MC+SATD runs lanes-last (blocks minor)
+    and candidates are evaluated in ONE batched MC call per stage
+    (screen, half-pel, quarter-pel) instead of a 22-step sequential
+    scan — the scan serialized the device and its [N, h, w] layout
+    wasted the vector lanes (round-5 profiling: ~300 ms/class, the
+    whole-frame search bottleneck).
     """
     H, W = org.shape
     ys, xs = class_grid(H, W, w, h)
     nby, nbx = len(ys), len(xs)
     N = nby * nbx
     jys, jxs = jnp.asarray(ys), jnp.asarray(xs)
-    blocks = org[jys[:, None, None, None] + jnp.arange(h)[None, None, :, None],
-                 jxs[None, :, None, None] + jnp.arange(w)[None, None, None, :]
-                 ].reshape(N, h, w)
+    blocks = jnp.transpose(
+        org[jys[:, None, None, None] + jnp.arange(h)[None, None, :, None],
+            jxs[None, :, None, None] + jnp.arange(w)[None, None, None, :]
+            ].reshape(N, h, w), (1, 2, 0))             # [h, w, N]
     py = jnp.repeat(jys, nbx) + PAD
     px = jnp.tile(jxs, nby) + PAD
 
@@ -257,32 +317,28 @@ def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
     rate = jnp.where(is_pred_like[:, None], rate_merge, rate_amvp)
     bad = jnp.zeros((C, N), bool).at[3].set(~ok_col)
 
-    # candidate screen: one MC instance, scanned over candidates
-    def cand_step(carry, xs):
-        bcost, bmv, bref, bbits, bml, bpred = carry
-        mv, ref, r, pl, bd_ = xs
-        pred = mc_frac_batch(pads, ref, py, px, mv[:, 0], mv[:, 1],
-                             h, w, bd)
-        satd = _satd_c(pred, blocks, w, h).astype(jnp.float32)
-        cost = satd + lam * r + jnp.where(bd_, 1e18, 0.0)
-        take = cost < bcost
-        return ((jnp.where(take, cost, bcost),
-                 jnp.where(take[:, None], mv, bmv),
-                 jnp.where(take, ref, bref),
-                 jnp.where(take, r, bbits),
-                 jnp.where(take, pl, bml),
-                 jnp.where(take[:, None, None], pred, bpred)), None)
-
-    init = (jnp.full((N,), 1e30, jnp.float32), cand_mv[0],
-            cand_ref[0], rate[0],
-            jnp.zeros((N,), bool), jnp.zeros((N, h, w), jnp.int32))
-    pl_bc = jnp.broadcast_to(is_pred_like[:, None], (C, N))
-    (best_cost, best_mv, best_ref, best_bits, best_mlike,
-     best_pred), _ = jax.lax.scan(
-        cand_step, init, (cand_mv, cand_ref, rate, pl_bc, bad))
+    # candidate screen: ONE lanes-last MC over all C*N instances
+    flat_mv = cand_mv.reshape(C * N, 2)
+    flat_ref = cand_ref.reshape(C * N)
+    preds = mc_frac_batch_t(pads, flat_ref, jnp.tile(py, C),
+                            jnp.tile(px, C), flat_mv[:, 0],
+                            flat_mv[:, 1], h, w, bd)     # [h, w, C*N]
+    satd = _satd_t(preds.reshape(h, w, C, N),
+                   blocks[:, :, None, :], w, h).astype(jnp.float32)
+    cost = satd + lam * rate + jnp.where(bad, 1e18, 0.0)   # [C, N]
+    kbest = jnp.argmin(cost, axis=0)                        # [N]
+    nidx = jnp.arange(N)
+    best_cost = cost[kbest, nidx]
+    best_mv = cand_mv[kbest, nidx]
+    best_ref = cand_ref[kbest, nidx]
+    best_bits = rate[kbest, nidx]
+    best_mlike = is_pred_like[kbest]
+    best_pred = jnp.take_along_axis(
+        preds.reshape(h, w, C, N), kbest[None, None, None, :],
+        axis=2)[:, :, 0, :]                                 # [h, w, N]
 
     # fractional refinement of the searched winner (half then quarter,
-    # 8 neighbors per round around the round's center); the merge-like
+    # 8 neighbors per round batched into one MC); the merge-like
     # winner is kept untouched so the commit pass can map it onto the
     # exact merge candidate list
     ref_mv, ref_cost, ref_pred = best_mv, best_cost, best_pred
@@ -291,32 +347,34 @@ def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
             [(-step, 0), (step, 0), (0, -step), (0, step),
              (-step, -step), (step, step), (-step, step),
              (step, -step)], jnp.int32)
-        center = ref_mv
-
-        def ref_step(carry, off):
-            bcost, bmv, bpred = carry
-            rmv = _clip_mv(center + off[None, :])
-            pred = mc_frac_batch(pads, best_ref, py, px,
-                                 rmv[:, 0], rmv[:, 1], h, w, bd)
-            satd = _satd_c(pred, blocks, w, h).astype(jnp.float32)
-            rbits = _mv_bits(rmv[:, 0], rmv[:, 1], pmx, pmy) + 5.0 \
-                + ref_bits * (best_ref > 0)
-            cost = satd + lam * rbits
-            take = cost < bcost
-            return ((jnp.where(take, cost, bcost),
-                     jnp.where(take[:, None], rmv, bmv),
-                     jnp.where(take[:, None, None], pred, bpred)),
-                    None)
-
-        (ref_cost, ref_mv, ref_pred), _ = jax.lax.scan(
-            ref_step, (ref_cost, ref_mv, ref_pred), offs)
+        rmv = _clip_mv(ref_mv[None, :, :] + offs[:, None, :])  # [8,N,2]
+        fmv = rmv.reshape(8 * N, 2)
+        rpred = mc_frac_batch_t(pads, jnp.tile(best_ref, 8),
+                                jnp.tile(py, 8), jnp.tile(px, 8),
+                                fmv[:, 0], fmv[:, 1], h, w, bd)
+        rsatd = _satd_t(rpred.reshape(h, w, 8, N),
+                        blocks[:, :, None, :], w, h
+                        ).astype(jnp.float32)              # [8, N]
+        rbits = _mv_bits(rmv[..., 0], rmv[..., 1], pmx[None, :],
+                         pmy[None, :]) + 5.0 \
+            + ref_bits * (best_ref > 0)[None, :]
+        rcost = rsatd + lam * rbits                        # [8, N]
+        allc = jnp.concatenate([ref_cost[None, :], rcost], 0)  # [9, N]
+        k9 = jnp.argmin(allc, axis=0)                      # [N]
+        ref_cost = allc[k9, nidx]
+        allmv = jnp.concatenate([ref_mv[None], rmv], 0)    # [9, N, 2]
+        ref_mv = allmv[k9, nidx]
+        allp = jnp.concatenate([ref_pred[:, :, None, :],
+                                rpred.reshape(h, w, 8, N)], 2)
+        ref_pred = jnp.take_along_axis(
+            allp, k9[None, None, None, :], axis=2)[:, :, 0, :]
     out_bits = _mv_bits(ref_mv[:, 0], ref_mv[:, 1], pmx, pmy) + 5.0 \
         + ref_bits * (best_ref > 0)
 
     take_ref = (~best_mlike) & (ref_cost < best_cost)
     out_mv = jnp.where(take_ref[:, None], ref_mv, best_mv)
     out_cost = jnp.where(take_ref, ref_cost, best_cost)
-    out_pred = jnp.where(take_ref[:, None, None], ref_pred, best_pred)
+    out_pred = jnp.where(take_ref[None, None, :], ref_pred, best_pred)
     out_bits = jnp.where(take_ref, out_bits, best_bits)
     return {"mv": out_mv, "ref": best_ref, "cost": out_cost,
             "bits": out_bits, "mlike": best_mlike, "pred": out_pred,
@@ -339,7 +397,7 @@ def _class_device_body(org, pads0, pads1, sadii_0, sadii_1,
             # inter_dir overhead ~2 bits
             bi_pred = (l0["pred"].astype(jnp.int32)
                        + l1["pred"].astype(jnp.int32) + 1) >> 1
-            bi_satd = _satd_c(bi_pred, l0["blocks"], w, h
+            bi_satd = _satd_t(bi_pred, l0["blocks"], w, h
                               ).astype(jnp.float32)
             bi_bits = l0["bits"] + l1["bits"] + 2.0
             bi_cost = bi_satd + lam * bi_bits
@@ -382,18 +440,58 @@ def _coarse_best(org, refs, sr):
     return jnp.stack([ref, dy * 4, dx * 4], -1)
 
 
+def pack_col_fields(col, n, H, W):
+    """[(field [H8,W8,2], valid [H8,W8])] -> stacked jnp arrays (or
+    all-invalid placeholders when empty)."""
+    h8, w8 = H // 8, W // 8
+    if col:
+        f = jnp.stack([jnp.asarray(c[0], jnp.int32) for c in col])
+        v = jnp.stack([jnp.asarray(c[1], bool) for c in col])
+    else:
+        f = jnp.zeros((max(n, 1), h8, w8, 2), jnp.int32)
+        v = jnp.zeros((max(n, 1), h8, w8), bool)
+    return f, v
+
+
+def unpack_class_results(iv_all: np.ndarray, cv_all: np.ndarray,
+                         classes, H, W):
+    """Split the packed per-class decision/cost vectors back into the
+    {(w, h): dict} result format."""
+    out = {}
+    ioff = coff = 0
+    for (w, h) in classes:
+        ys, xs = class_grid(H, W, w, h)
+        nby, nbx = len(ys), len(xs)
+        n = nby * nbx
+        f = iv_all[ioff:ioff + 8 * n].reshape(8, nby, nbx)
+        ioff += 8 * n
+        out[(w, h)] = {
+            "cost": cv_all[coff:coff + n].reshape(nby, nbx)
+            .astype(np.float64),
+            "dir": f[0], "ref0": f[1], "mv0x": f[2], "mv0y": f[3],
+            "ref1": f[4], "mv1x": f[5], "mv1y": f[6],
+            "mlike": f[7].astype(bool)}
+        coff += n
+    return out
+
+
 def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
                        classes, qp: int, sr: int = 16,
-                       bd: int = 10, mesh=None):
+                       bd: int = 10, mesh=None, lam_satd=None):
     """Run the whole-frame inter search.
 
     org_p: CTU-padded luma. refs0/refs1: [plane, ...] per list.
     col0/col1: per target-ref [(field [H8, W8, 2], valid [H8, W8])]
     collocated candidates (internal 1/16 units), or [] for none.
+    lam_satd: SATD-domain rate weight. Pass the fused search's weight
+    (sqrt(lambda) * FASTINTERCU_RATE_SCALE) so ONE weight governs the
+    intra and inter legs and the DP (ADVICE r4: a locally recomputed
+    sqrt(lambda) underweighted inter signalling bits ~4x vs intra).
     -> {(w, h): dict(cost, dir, ref0, mv0, ref1, mv1, mlike)} (numpy).
     """
     H, W = org_p.shape
-    lam = float(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    lam = float(lam_satd) if lam_satd is not None else \
+        float(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
     jorg = jnp.asarray(org_p)
 
     def prep(refs):
@@ -410,14 +508,7 @@ def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
         return pads, _integral(s8), coarse
 
     def prep_col(col, n):
-        h8, w8 = H // 8, W // 8
-        if col:
-            f = jnp.stack([jnp.asarray(c[0], jnp.int32) for c in col])
-            v = jnp.stack([jnp.asarray(c[1], bool) for c in col])
-        else:
-            f = jnp.zeros((max(n, 1), h8, w8, 2), jnp.int32)
-            v = jnp.zeros((max(n, 1), h8, w8), bool)
-        return f, v
+        return pack_col_fields(col, n, H, W)
 
     pads0, s80, c0 = prep(refs0)
     if refs1:
@@ -439,19 +530,4 @@ def inter_frame_search(org_p: np.ndarray, refs0, refs1, col0, col1,
         [pend[c][0] for c in classes]))
     cv_all = np.asarray(jnp.concatenate(
         [pend[c][1] for c in classes]))
-    out = {}
-    ioff = coff = 0
-    for (w, h) in classes:
-        ys, xs = class_grid(H, W, w, h)
-        nby, nbx = len(ys), len(xs)
-        n = nby * nbx
-        f = iv_all[ioff:ioff + 8 * n].reshape(8, nby, nbx)
-        ioff += 8 * n
-        out[(w, h)] = {
-            "cost": cv_all[coff:coff + n].reshape(nby, nbx)
-            .astype(np.float64),
-            "dir": f[0], "ref0": f[1], "mv0x": f[2], "mv0y": f[3],
-            "ref1": f[4], "mv1x": f[5], "mv1y": f[6],
-            "mlike": f[7].astype(bool)}
-        coff += n
-    return out
+    return unpack_class_results(iv_all, cv_all, classes, H, W)

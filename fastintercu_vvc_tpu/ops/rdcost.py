@@ -73,3 +73,41 @@ def satd4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.int32)
     per_sub = (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 1) >> 1
     return jnp.sum(per_sub, axis=-1)
+
+
+def satd_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lanes-last SATD: [H, W, *rest] blocks -> [*rest].
+
+    Same math as satd() but with the batch dimensions MINOR so the TPU
+    vector lanes (128-wide) run across blocks instead of across a
+    w-sized row — the [N, h, w] layout wasted >80% of each lane tile
+    for small coding blocks (w = 8..23), which made the whole-frame
+    candidate screen the wall-time bottleneck of the fused search.
+    Inputs broadcast against each other.
+    """
+    d = (a.astype(jnp.int32) - b.astype(jnp.int32))
+    H, W = d.shape[0], d.shape[1]
+    rest = d.shape[2:]
+    assert H % 8 == 0 and W % 8 == 0, (H, W)
+    d = d.reshape(H // 8, 8, W // 8, 8, -1)
+    d = jnp.moveaxis(d, 2, 1).reshape(H // 8 * (W // 8), 8, 8, -1)
+    h8 = jnp.asarray(_hadamard(8))
+    t = jnp.einsum("ij,sjkm,kl->silm", h8, d, h8,
+                   preferred_element_type=jnp.int32)
+    per_sub = (jnp.sum(jnp.abs(t), axis=(1, 2)) + 2) >> 2
+    return jnp.sum(per_sub, axis=0).reshape(rest)
+
+
+def satd4_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lanes-last 4x4 SATD: [H, W, *rest] -> [*rest] (satd4 twin)."""
+    d = (a.astype(jnp.int32) - b.astype(jnp.int32))
+    H, W = d.shape[0], d.shape[1]
+    rest = d.shape[2:]
+    assert H % 4 == 0 and W % 4 == 0
+    d = d.reshape(H // 4, 4, W // 4, 4, -1)
+    d = jnp.moveaxis(d, 2, 1).reshape(H // 4 * (W // 4), 4, 4, -1)
+    h4 = jnp.asarray(_hadamard(4))
+    t = jnp.einsum("ij,sjkm,kl->silm", h4, d, h4,
+                   preferred_element_type=jnp.int32)
+    per_sub = (jnp.sum(jnp.abs(t), axis=(1, 2)) + 1) >> 1
+    return jnp.sum(per_sub, axis=0).reshape(rest)

@@ -68,13 +68,27 @@ def encode_gop_parallel(frames, cfg, qp: int, gop_size: int,
             results = [f.result() for f in futs]
     wall = time.perf_counter() - t0
     worker_s = sum(dt for (_, dt) in results)
-    # stitch: SPS/PPS from the first segment only, then slice data
+    # stitch: parameter sets (SPS 15 / PPS 16, also VPS 14 / APS 17/18
+    # if ever emitted) from the first segment only, then slice data —
+    # stripped by NAL type, not by fixed count (ADVICE r4 #4)
+    def is_param_set(nal):
+        t = (nal[1] >> 3) & 0x1F
+        return t in (14, 15, 16, 17, 18)
+
     nals = []
     for i, (res, _) in enumerate(results):
         seg_nals = gop.split_nals(res.bitstream)
-        nals.extend(seg_nals if i == 0 else seg_nals[2:])
+        if i == 0:
+            nals.extend(seg_nals)
+        else:
+            k = 0
+            while k < len(seg_nals) and is_param_set(seg_nals[k]):
+                k += 1
+            nals.extend(seg_nals[k:])
     from ..utils.bitstream import annexb
+    # honest scaling estimate: unclamped (a >1.0 reading means the legs
+    # were not equally warmed — the caller must warm both first)
     eff = worker_s / (max(workers, 1) * wall) if wall > 0 else 0.0
     return annexb(nals), [r for (r, _) in results], {
         "wall_s": wall, "worker_s": worker_s,
-        "efficiency": min(eff, 1.0), "segments": len(segs)}
+        "efficiency": eff, "segments": len(segs)}
