@@ -256,14 +256,14 @@ def _search_device_all(jorg, refs0, refs1, cf0, cv0, cf1, cv1,
         return iv_i, cv_i, jnp.zeros((0,), jnp.int32), \
             jnp.zeros((0,), jnp.float32)
     pads0 = jnp.stack([jnp.pad(refs0[i], me_frame.PAD, mode="edge")
-                       for i in range(n0)])
+                       for i in range(n0)]).astype(jnp.int16)
     s80 = jnp.stack([me_frame.sad_map(jorg, refs0[i], sr)
                      for i in range(n0)])
     c0 = me_frame._coarse_best(jorg, [refs0[i] for i in range(n0)], sr)
     ii0 = me_frame._integral(s80)
     if n1 > 0:
         pads1 = jnp.stack([jnp.pad(refs1[i], me_frame.PAD, mode="edge")
-                           for i in range(n1)])
+                           for i in range(n1)]).astype(jnp.int16)
         s81 = jnp.stack([me_frame.sad_map(jorg, refs1[i], sr)
                          for i in range(n1)])
         c1 = me_frame._coarse_best(jorg,

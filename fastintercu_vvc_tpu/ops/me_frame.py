@@ -201,10 +201,18 @@ def mc_frac_batch_t(pads, ref_sel, py, px, mvx, mvy, h, w, bd=10):
     iy = py + (mvy >> 4) - 3
     fx = mvx & 15
     fy = mvy & 15
-    rows = iy[None, :] + jnp.arange(h + 7)[:, None]       # [h+7, M]
-    cols = ix[None, :] + jnp.arange(w + 7)[:, None]       # [w+7, M]
-    win = pads[ref_sel[None, None, :], rows[:, None, :],
-               cols[None, :, :]].astype(jnp.int32)        # [h+7, w+7, M]
+    # window fetch as a vmap'd dynamic_slice: M start indices each
+    # pulling a contiguous (h+7, w+7) block — XLA lowers this to a
+    # sliced gather, ~4x faster on TPU than the per-element gather of
+    # broadcast row/col index arrays (measured 14 vs 59 ms for 8.9k
+    # 23x23 windows); pads may be int16 to halve the fetched bytes
+
+    def _one(r, y, x):
+        return jax.lax.dynamic_slice(pads, (r, y, x),
+                                     (1, h + 7, w + 7))[0]
+
+    win = jnp.transpose(jax.vmap(_one)(ref_sel, iy, ix),
+                        (1, 2, 0)).astype(jnp.int32)      # [h+7, w+7, M]
     head = IF_INTERNAL_PREC - bd
     shift1 = IF_FILTER_PREC - head
     off1 = -IF_INTERNAL_OFFS << shift1
@@ -337,10 +345,26 @@ def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
         preds.reshape(h, w, C, N), kbest[None, None, None, :],
         axis=2)[:, :, 0, :]                                 # [h, w, N]
 
-    # fractional refinement of the searched winner (half then quarter,
-    # 8 neighbors per round batched into one MC); the merge-like
-    # winner is kept untouched so the commit pass can map it onto the
-    # exact merge candidate list
+    # fractional refinement of the searched winner (half then quarter);
+    # the merge-like winner is kept untouched so the commit pass can
+    # map it onto the exact merge candidate list.
+    # HBM discipline: the 8 neighbors of a round sit within +-1
+    # integer pel of the round's center, so ONE (h+9) x (w+9) window
+    # per block serves the whole round — each neighbor's prediction is
+    # the window filtered with a 10-tap "extended" filter (the 8-tap
+    # phase filter placed at local shift 0/1/2), algebraically
+    # identical to refetching a shifted window. Cuts the per-round
+    # window traffic 8x.
+    ext_np = np.zeros((16, 3, 10), np.int64)
+    for f in range(16):
+        for sft in range(3):
+            ext_np[f, sft, sft:sft + 8] = np.asarray(LUMA_FILTER)[f]
+    ext_taps = jnp.asarray(ext_np)
+    head = IF_INTERNAL_PREC - bd
+    shift1 = IF_FILTER_PREC - head
+    off1 = -IF_INTERNAL_OFFS << shift1
+    shift2 = IF_FILTER_PREC + head
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
     ref_mv, ref_cost, ref_pred = best_mv, best_cost, best_pred
     for step in (8, 4):
         offs = jnp.asarray(
@@ -348,12 +372,27 @@ def _list_leg(org, pads, sadii, coarse_field, col_field, col_valid,
              (-step, -step), (step, step), (-step, step),
              (step, -step)], jnp.int32)
         rmv = _clip_mv(ref_mv[None, :, :] + offs[:, None, :])  # [8,N,2]
-        fmv = rmv.reshape(8 * N, 2)
-        rpred = mc_frac_batch_t(pads, jnp.tile(best_ref, 8),
-                                jnp.tile(py, 8), jnp.tile(px, 8),
-                                fmv[:, 0], fmv[:, 1], h, w, bd)
-        rsatd = _satd_t(rpred.reshape(h, w, 8, N),
-                        blocks[:, :, None, :], w, h
+        cix = px + (ref_mv[:, 0] >> 4) - 4
+        ciy = py + (ref_mv[:, 1] >> 4) - 4
+
+        def _onewin(r, y, x):
+            return jax.lax.dynamic_slice(pads, (r, y, x),
+                                         (1, h + 9, w + 9))[0]
+
+        win = jnp.transpose(jax.vmap(_onewin)(best_ref, ciy, cix),
+                            (1, 2, 0)).astype(jnp.int32)  # [h+9,w+9,N]
+        shx = (rmv[..., 0] >> 4) - (ref_mv[:, 0] >> 4)[None, :] + 1
+        shy = (rmv[..., 1] >> 4) - (ref_mv[:, 1] >> 4)[None, :] + 1
+        tx = ext_taps[rmv[..., 0] & 15, shx]              # [8, N, 10]
+        ty = ext_taps[rmv[..., 1] & 15, shy]
+        tmp = sum(win[:, l:l + w, None, :]
+                  * tx[None, None, :, :, l] for l in range(10))
+        tmp = (tmp + off1) >> shift1                      # [h+9,w,8,N]
+        acc = sum(tmp[k:k + h] * ty[:, :, k][None, None, :, :]
+                  for k in range(10))
+        rpred = jnp.clip((acc + off2) >> shift2, 0,
+                         (1 << bd) - 1)                   # [h, w, 8, N]
+        rsatd = _satd_t(rpred, blocks[:, :, None, :], w, h
                         ).astype(jnp.float32)              # [8, N]
         rbits = _mv_bits(rmv[..., 0], rmv[..., 1], pmx[None, :],
                          pmy[None, :]) + 5.0 \
