@@ -550,6 +550,7 @@ class FrameEncoder:
                         self.smvd_refs = (b0, f1)
         self.pc = self._pc(slice_type)
         self.org = org_y.astype(np.int32)
+        self.org_unmapped = self.org   # pre-LMCS org (ME hint source)
         # LMCS: the frame is coded in the mapped luma domain — map the
         # org once (the curve is derived from the first frame and kept
         # for the sequence: one LMCS APS, repeated per AU)
@@ -578,16 +579,11 @@ class FrameEncoder:
         # reference (ops/me_batch); the per-CU Python ME then only
         # refines locally
         self.me_hints = {}
-        if slice_type != hls.I_SLICE and self.batched_me:
-            from ..ops import me_batch
-            for ridx in range(self.n_act0):
-                self.me_hints[(0, ridx)] = me_batch.MeHints(
-                    org_y.astype(np.int32), self.refs[ridx][1],
-                    self.me_range)
-            for ridx in range(self.n_act1):
-                self.me_hints[(1, ridx)] = me_batch.MeHints(
-                    org_y.astype(np.int32), self.refs_l1[ridx][1],
-                    self.me_range)
+        # lazily built: the decisions-driven commit pass never runs the
+        # per-CU ME, so eagerly searching every reference here was pure
+        # waste (~0.23 s/frame on the RA path); _me_uni_ref builds the
+        # hints for (lst, ridx) on first use
+        self._me_hints_ok = slice_type != hls.I_SLICE and self.batched_me
         bd = cfg.bit_depth
         self.wpp_xmax = None
         self._set_cu_qp(qp)
@@ -2999,6 +2995,11 @@ class FrameEncoder:
                                     ref_poc_list1=self.ref_pocs_l1,
                                     tmvp=self.tmvp_ctx)
         hints = self.me_hints.get((lst, ridx))
+        if hints is None and self._me_hints_ok:
+            from ..ops import me_batch
+            hints = me_batch.MeHints(self.org_unmapped, ref_plane,
+                                     self.me_range)
+            self.me_hints[(lst, ridx)] = hints
         if hints is not None:
             # batched-search hints: per-16x16 best integer MVs +
             # MVP-predicted start, then a +-1 local refine

@@ -298,9 +298,9 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
     h, w = coeff.shape
 
     # recorder target + no dep-quant -> generate the op stream
-    # natively (the C generator does not model sign hiding yet, so SDH
-    # streams use the python bin generator into the recorder)
-    if not dep_quant and not sign_hiding:
+    # natively (SDH streams included: the C generator models the
+    # hidden-sign rule; the caller already parity-adjusted the levels)
+    if not dep_quant:
         from .. import native
         if hasattr(enc, "extend_ops"):
             if native.get_lib() is not None:
@@ -308,7 +308,8 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
                                              h.bit_length() - 1)
                 enc.extend_ops(native.residual_ops(
                     coeff, ch_type, lgw, lgh,
-                    _native_ctxb(w, h, ch_type)))
+                    _native_ctxb(w, h, ch_type),
+                    sign_hiding=int(sign_hiding)))
                 return
         elif hasattr(enc, "bits_left"):
             # LIVE engine (the RD trial-coding path): generate the op
@@ -320,7 +321,8 @@ def write_residual_coding(enc, coeff: np.ndarray, ch_type: int,
                                              h.bit_length() - 1)
                 ops = native.residual_ops(
                     coeff, ch_type, lgw, lgh,
-                    _native_ctxb(w, h, ch_type))
+                    _native_ctxb(w, h, ch_type),
+                    sign_hiding=int(sign_hiding))
                 native.cabac_exec_live(enc, ops)
                 return
     cctx = CoeffCtx(w, h, ch_type)

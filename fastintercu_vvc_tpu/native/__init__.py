@@ -98,7 +98,7 @@ def get_lib():
         lib.residual_ops.restype = ctypes.c_int64
         lib.residual_ops.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
         lib.ck_eval_chroma.restype = None
@@ -131,10 +131,13 @@ def get_lib():
 
 
 def residual_ops(coeff, is_chroma: int, log2_cg_w: int, log2_cg_h: int,
-                 ctxb) -> np.ndarray:
+                 ctxb, sign_hiding: int = 0) -> np.ndarray:
     """Generate the bin-op stream for one TU component natively.
     coeff: [H, W] int array of quantized levels (>= one nonzero).
-    ctxb: 15 context-base ints (see residual_ops.c)."""
+    ctxb: 15 context-base ints (see residual_ops.c).
+    sign_hiding: SDH stream semantics (hidden first sign per CG when
+    last-first nonzero span >= 4; the caller already parity-adjusted
+    the levels via apply_sign_hiding)."""
     lib = get_lib()
     assert lib is not None
     c = np.ascontiguousarray(coeff, np.int32)
@@ -144,7 +147,7 @@ def residual_ops(coeff, is_chroma: int, log2_cg_w: int, log2_cg_h: int,
     out = np.empty(cap, np.uint32)
     n = lib.residual_ops(
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w, h,
-        int(is_chroma), log2_cg_w, log2_cg_h,
+        int(is_chroma), log2_cg_w, log2_cg_h, int(sign_hiding),
         cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
     if n < -2:                       # capacity miss: retry exact size
@@ -152,7 +155,7 @@ def residual_ops(coeff, is_chroma: int, log2_cg_w: int, log2_cg_h: int,
         out = np.empty(cap, np.uint32)
         n = lib.residual_ops(
             c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w, h,
-            int(is_chroma), log2_cg_w, log2_cg_h,
+            int(is_chroma), log2_cg_w, log2_cg_h, int(sign_hiding),
             cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
     assert n >= 0, f"residual_ops error {n}"

@@ -7,8 +7,9 @@
  * the per-coefficient context derivation is the hottest loop of the
  * commit pass, so it runs natively.
  *
- * Scope: dep-quant off, sign-data-hiding off (matching the encoder's
- * current tool set); the Python writer remains the fallback.
+ * Scope: dep-quant off; sign-data-hiding supported (the CTC config
+ * codes with SDH on — CABACWriter.cpp:3011-3017 hidden-sign rule).
+ * The Python writer remains the fallback for dep-quant streams.
  */
 
 #include <stdint.h>
@@ -107,8 +108,8 @@ static int diag_positions(int w, int h, int32_t *xs, int32_t *ys) {
  *  11 last_shift_x  12 last_shift_y  13 max_last_x  14 max_last_y
  */
 int64_t residual_ops(const int32_t *coeff, int w, int h, int is_chroma,
-                     int log2_cg_w, int log2_cg_h, const int32_t *ctxb,
-                     uint32_t *out, int64_t cap) {
+                     int log2_cg_w, int log2_cg_h, int sign_hiding,
+                     const int32_t *ctxb, uint32_t *out, int64_t cap) {
   Ops o = {out, 0, cap};
   int zw = w < 32 ? w : 32, zh = h < 32 ? h : 32;
   int n_scan = zw * zh;
@@ -200,6 +201,7 @@ int64_t residual_ops(const int32_t *coeff, int w, int h, int is_chroma,
     uint32_t sign_pattern = 0;
     int rem_reg_bins = reg_bin_limit;
     int tmpl_diag = -1, tmpl_sum1 = -1;
+    int first_nz_pos = next_sig_pos, last_nz_pos = -1;
 
     while (next_sig_pos >= min_sub_pos && rem_reg_bins >= 4) {
       int x = sx[next_sig_pos], y = sy[next_sig_pos];
@@ -251,6 +253,8 @@ int64_t residual_ops(const int32_t *coeff, int w, int h, int is_chroma,
             ctx_off += tmpl_diag < 3 ? 10 : (tmpl_diag < 10 ? 5 : 0);
         }
         num_non_zero++;
+        first_nz_pos = next_sig_pos;
+        if (next_sig_pos > last_nz_pos) last_nz_pos = next_sig_pos;
         int rem_abs = (c < 0 ? -c : c) - 1;
         if (next_sig_pos != scan_pos_last) sign_pattern <<= 1;
         if (c < 0) sign_pattern += 1;
@@ -311,13 +315,22 @@ int64_t residual_ops(const int32_t *coeff, int w, int h, int is_chroma,
       rem_abs_ep(&o, (uint32_t)rem, rice);
       if (a) {
         num_non_zero++;
+        first_nz_pos = pos;
+        if (pos > last_nz_pos) last_nz_pos = pos;
         sign_pattern <<= 1;
         if (c < 0) sign_pattern += 1;
       }
     }
 #undef TSUM
 
-    ep_bins(&o, sign_pattern, num_non_zero);
+    /* the first nonzero's sign is hidden when SDH applies
+     * (CABACWriter.cpp:3011-3017) */
+    int num_signs = num_non_zero;
+    if (sign_hiding && num_non_zero && (last_nz_pos - first_nz_pos) >= 4) {
+      num_signs -= 1;
+      sign_pattern >>= 1;
+    }
+    if (num_signs) ep_bins(&o, sign_pattern, num_signs);
   }
 #undef CP
 #undef CF

@@ -378,27 +378,31 @@ def _coeff_err(E, y, pix, ci):
 
 def _quantize_filter(E, y, pix):
     """round + clamp + greedy +-1 refinement (deriveCoeffQuant,
-    EncAdaptiveLoopFilter.cpp:1818-1878). -> (ci [12] int, err)."""
+    EncAdaptiveLoopFilter.cpp:1818-1878). -> (ci [12] int, err).
+
+    The +-1 sweep scores all 12 single-coefficient moves at once via
+    the exact rank-1 error delta
+      err(ci + d e_k) - err(ci)
+        = inv^2 (2 d (E ci)_k + d^2 E_kk) - 2 inv d y_k
+    (one matvec instead of 12 full _coeff_err evaluations)."""
     c, _ = _wiener(E, y, pix)
     ci = np.round(c * _FACTOR).astype(np.int64)
     ci = np.clip(ci, -(_FACTOR - 1), _FACTOR - 1)
+    inv = 1.0 / _FACTOR
     err = _coeff_err(E, y, pix, ci)
+    diag = np.diag(E)
     for _ in range(3):
         improved = False
         for sign in (1, -1):
-            best_k, best_e = -1, err
-            for k in range(12):
-                nv = ci[k] - sign
-                if abs(nv) > _FACTOR - 1:
-                    continue
-                ci[k] = nv
-                e2 = _coeff_err(E, y, pix, ci)
-                ci[k] = nv + sign
-                if e2 < best_e:
-                    best_k, best_e = k, e2
-            if best_k >= 0:
-                ci[best_k] -= sign
-                err = best_e
+            d = -sign
+            g = E @ ci
+            delta = inv * inv * (2.0 * d * g + diag) - 2.0 * inv * d * y
+            ok = np.abs(ci + d) <= _FACTOR - 1
+            cand = np.where(ok, err + delta, np.inf)
+            k = int(np.argmin(cand))
+            if cand[k] < err:
+                ci[k] += d
+                err = _coeff_err(E, y, pix, ci)
                 improved = True
         if not improved:
             break
