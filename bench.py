@@ -153,9 +153,10 @@ def main():
     # with the MLT-CNN split hints ON vs OFF at the flagship shape
     # (CTU 128, script_128/*.sh protocol analog). Shorter clip: the
     # speedup/BD numbers need a matched pair, not the full run.
-    ckpt = os.path.join(ROOT, "checkpoints", "mlt_ctu128_r4")
-    if not os.path.isdir(ckpt):
-        ckpt = os.path.join(ROOT, "checkpoints", "mlt_ctu128_r3")
+    for tag in ("mlt_ctu128_r5", "mlt_ctu128_r4", "mlt_ctu128_r3"):
+        ckpt = os.path.join(ROOT, "checkpoints", tag)
+        if os.path.isdir(ckpt):
+            break
     if os.path.isdir(ckpt):
         try:
             roff = ctc.measure(name="bench240", w=416, h=240, n=17,

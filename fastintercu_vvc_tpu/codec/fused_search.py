@@ -294,7 +294,7 @@ def _pad_to_ctu(plane: np.ndarray, cs: int) -> np.ndarray:
     return plane
 
 
-def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
+def search_frame_async(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                  slice_type: int = hls.I_SLICE,
                  ref_planes=(),
                  split_hints: np.ndarray | None = None,
@@ -406,10 +406,13 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
                 r1map.append(ridx)
                 c1l.append(colf if colf is not None else none_colf)
 
-    res = None
+    handles = None
     if use_mesh is None:
         # single-dispatch path: everything in one jitted program, two
-        # packed downloads
+        # packed downloads. The dispatch is ASYNC (jax enqueues the
+        # program); the returned finish() performs the blocking fetch,
+        # so a caller can overlap this frame's device search with host
+        # work on another frame (gop-level pipelining).
         from ..ops import me_frame as mf
         n0, n1 = len(refs0), len(refs1)
 
@@ -421,269 +424,286 @@ def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
         cf0, cv0 = mf.pack_col_fields(c0l, n0, H, W)
         cf1, cv1 = mf.pack_col_fields(c1l, n1, H, W)
         r1arr = stack_or_dummy(refs1) if refs1 else stack_or_dummy(refs0)
-        iv_i, cv_i, iv2, cv2 = _search_device_all(
+        handles = _search_device_all(
             jorg, stack_or_dummy(refs0), r1arr, cf0, cv0, cf1, cv1,
             lam_satd, hit_bits, miss_bits, lam_satd,
             intra_classes=intra_classes,
             iclasses=iclasses if inter_slice else (),
             sr=int(me_range), bd=10, n0=n0, n1=n1)
-        iv = np.asarray(iv_i)
-        cv = np.asarray(cv_i)
-        if inter_slice:
-            res = mf.unpack_class_results(np.asarray(iv2),
-                                          np.asarray(cv2), iclasses,
-                                          H, W)
     else:
-        iv, cv = _intra_leaf_device(jorg, intra_classes, lam_satd,
-                                    hit_bits, miss_bits)
-        iv = np.asarray(iv)
-        cv = np.asarray(cv)
+        handles = _intra_leaf_device(jorg, intra_classes, lam_satd,
+                                     hit_bits, miss_bits)
 
-    leaf = {}
-    off = 0
-    for (w, h) in intra_classes:
-        ys, xs = grids[(w, h)]
-        n = len(ys) * len(xs)
-        leaf[(w, h)] = {
-            "imode": iv[3 * off:3 * (off + n)]
-            .reshape(len(ys), len(xs), 3),
-            "icost": (cv[off:off + n].astype(np.float64)
-                      + lam_satd * intra_flags_bits
-                      ).reshape(len(ys), len(xs)),
-        }
-        off += n
-    for (w, h) in classes:
-        if (w, h) not in leaf:
+    def finish() -> FusedDecisions:
+        res = None
+        if use_mesh is None:
+            from ..ops import me_frame as mf
+            iv_i, cv_i, iv2, cv2 = handles
+            iv = np.asarray(iv_i)
+            cv = np.asarray(cv_i)
+            if inter_slice:
+                res = mf.unpack_class_results(np.asarray(iv2),
+                                              np.asarray(cv2),
+                                              iclasses, H, W)
+        else:
+            iv = np.asarray(handles[0])
+            cv = np.asarray(handles[1])
+
+        leaf = {}
+        off = 0
+        for (w, h) in intra_classes:
             ys, xs = grids[(w, h)]
+            n = len(ys) * len(xs)
             leaf[(w, h)] = {
-                "imode": np.zeros((len(ys), len(xs), 3), np.int32),
-                "icost": np.full((len(ys), len(xs)), 1e18),
+                "imode": iv[3 * off:3 * (off + n)]
+                .reshape(len(ys), len(xs), 3),
+                "icost": (cv[off:off + n].astype(np.float64)
+                          + lam_satd * intra_flags_bits
+                          ).reshape(len(ys), len(xs)),
             }
-
-    # ---- inter leg (all classes: the SAD base grid is 8x8)
-    if inter_slice:
-        if res is None:       # sharded path (mesh-driven SAD maps)
-            res = me_frame.inter_frame_search(
-                org_p, refs0, refs1, c0l, c1l, iclasses, qp,
-                sr=int(me_range), bd=10, mesh=use_mesh,
-                lam_satd=lam_satd)
-        r0m = np.asarray(r0map or [0], np.int32)
-        r1m = np.asarray(r1map or [0], np.int32)
-        for (w, h) in iclasses:
-            r = res[(w, h)]
-            lv = leaf[(w, h)]
-            pcost = r["cost"] + lam_satd * pred_mode_p
-            use_inter = pcost < lv["icost"]
-            lv["inter"] = use_inter
-            lv["cost"] = np.where(use_inter, pcost, lv["icost"])
-            lv["dir"] = r["dir"]
-            lv["ref0"] = r0m[np.minimum(r["ref0"], len(r0m) - 1)]
-            lv["mv0x"], lv["mv0y"] = r["mv0x"], r["mv0y"]
-            lv["ref1"] = r1m[np.minimum(r["ref1"], len(r1m) - 1)]
-            lv["mv1x"], lv["mv1y"] = r["mv1x"], r["mv1y"]
-            lv["mlike"] = r["mlike"]
+            off += n
         for (w, h) in classes:
-            if (w, h) not in iclasses:
-                leaf[(w, h)]["cost"] = leaf[(w, h)]["icost"]
-    else:
-        for lv in leaf.values():
-            lv["cost"] = lv["icost"]
+            if (w, h) not in leaf:
+                ys, xs = grids[(w, h)]
+                leaf[(w, h)] = {
+                    "imode": np.zeros((len(ys), len(xs), 3), np.int32),
+                    "icost": np.full((len(ys), len(xs)), 1e18),
+                }
 
-    # ---- DP over (geometry, MTT budget, parallel-TT variant)
-    # B[v][d][(w,h)]: best cost of a (w,h) node with d MTT splits left
-    # under variant v (0 unrestricted, 1 = BT_H banned at this node =
-    # TT_H middle child, 2 = BT_V banned). CH mirrors the choice.
-    geoset = set(geoms)
-    NVAR = 3
-    B = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
-    CH = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
-
-    def sub(arr, cc, ys_pos, xs_pos):
-        syc, sxc = strides[cc]
-        return arr[(ys_pos // syc)[:, None], (xs_pos // sxc)[None, :]]
-
-    def node_rates(w, h, d, var):
-        mtt = D - d
-        last = QT if mtt == 0 else BH
-        qtd = max(0, (cs // max(w, h)).bit_length() - 1)
-        tmid = (partition.BT_H if var == 1
-                else partition.BT_V if var == 2 else None)
-        return srate.costs(w, h, qtd, mtt, last, tmid)
-
-    TH, TV = partition.TT_H, partition.TT_V
-    for d in range(D + 1):
-        for (w, h) in geoms:
-            ys, xs = grids[(w, h)]
-            comp = {}
-            if d > 0:
-                cc = (w, h // 2)
-                if cc in geoset:
-                    ch = B[0][d - 1][cc]
-                    comp[BH] = (sub(ch, cc, ys, xs)
-                                + sub(ch, cc, ys + h // 2, xs))
-                cc = (w // 2, h)
-                if cc in geoset:
-                    ch = B[0][d - 1][cc]
-                    comp[BV] = (sub(ch, cc, ys, xs)
-                                + sub(ch, cc, ys, xs + w // 2))
-                cf, cm = (w, h // 4), (w, h // 2)
-                if cf in geoset and cm in geoset:
-                    f = B[0][d - 1][cf]
-                    m = B[1][d - 1][cm]
-                    comp[TH] = (sub(f, cf, ys, xs)
-                                + sub(m, cm, ys + h // 4, xs)
-                                + sub(f, cf, ys + 3 * (h // 4), xs))
-                cf, cm = (w // 4, h), (w // 2, h)
-                if cf in geoset and cm in geoset:
-                    f = B[0][d - 1][cf]
-                    m = B[2][d - 1][cm]
-                    comp[TV] = (sub(f, cf, ys, xs)
-                                + sub(m, cm, ys, xs + w // 4)
-                                + sub(f, cf, ys, xs + 3 * (w // 4)))
-            base = leaf[(w, h)]["cost"]
-            for var in range(NVAR):
-                rates = node_rates(w, h, d, var)
-                cost = base + lam_satd * rates.get(NO, 0.0)
-                choice = np.zeros(cost.shape, np.int8)
-                for sp in (BH, BV, TH, TV):
-                    if sp not in rates or sp not in comp:
-                        continue
-                    agg = comp[sp] + lam_satd * rates[sp]
-                    m = agg < cost
-                    choice = np.where(m, np.int8(sp), choice)
-                    cost = np.where(m, agg, cost)
-                B[var][d][(w, h)] = cost
-                CH[var][d][(w, h)] = choice
-
-    # QT levels: T[s] = min(MTT subtree at s, 4 x T[s/2] + qt rate),
-    # evaluated on the s-ALIGNED grid (QT nodes are never half-offset)
-    def aligned(arr, c, s):
-        sy, sx = strides[c]
-        ya = (np.arange(H // s) * s) // sy
-        xa = (np.arange(W // s) * s) // sx
-        return arr[ya[:, None], xa[None, :]]
-
-    T = {min_qt: aligned(B[0][D][(min_qt, min_qt)],
-                         (min_qt, min_qt), min_qt)}
-    QSPLIT = {}
-    for s in sorted(squares)[1:]:
-        child = T[s // 2]
-        nby, nbx = child.shape
-        rates = node_rates(s, s, D, 0)
-        agg = (child.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
-               + lam_satd * rates.get(QT, 1.0))
-        leafbt = aligned(B[0][D][(s, s)], (s, s), s)
-        QSPLIT[s] = (agg < leafbt) & (QT in rates)
-        T[s] = np.where(QSPLIT[s], agg, leafbt)
-
-    # ---- decision walk
-    dec_split: dict = {}
-    dec_mode: dict = {}
-
-    def record_leaf(x, y, w, h):
-        dec_split[(x, y, w, h)] = NO
-        lv = leaf[(w, h)]
-        sy, sx = strides[(w, h)]
-        by, bx = y // sy, x // sx
-        if inter_slice and lv.get("inter") is not None \
-                and lv["inter"][by, bx]:
-            dec_mode[(x, y, w, h)] = ("inter", {
-                "dir": int(lv["dir"][by, bx]),
-                "ref0": int(lv["ref0"][by, bx]),
-                "mv0": (int(lv["mv0x"][by, bx]),
-                        int(lv["mv0y"][by, bx])),
-                "ref1": int(lv["ref1"][by, bx]),
-                "mv1": (int(lv["mv1x"][by, bx]),
-                        int(lv["mv1y"][by, bx])),
-                "mlike": bool(lv["mlike"][by, bx])})
+        # ---- inter leg (all classes: the SAD base grid is 8x8)
+        if inter_slice:
+            if res is None:       # sharded path (mesh-driven SAD maps)
+                res = me_frame.inter_frame_search(
+                    org_p, refs0, refs1, c0l, c1l, iclasses, qp,
+                    sr=int(me_range), bd=10, mesh=use_mesh,
+                    lam_satd=lam_satd)
+            r0m = np.asarray(r0map or [0], np.int32)
+            r1m = np.asarray(r1map or [0], np.int32)
+            for (w, h) in iclasses:
+                r = res[(w, h)]
+                lv = leaf[(w, h)]
+                pcost = r["cost"] + lam_satd * pred_mode_p
+                use_inter = pcost < lv["icost"]
+                lv["inter"] = use_inter
+                lv["cost"] = np.where(use_inter, pcost, lv["icost"])
+                lv["dir"] = r["dir"]
+                lv["ref0"] = r0m[np.minimum(r["ref0"], len(r0m) - 1)]
+                lv["mv0x"], lv["mv0y"] = r["mv0x"], r["mv0y"]
+                lv["ref1"] = r1m[np.minimum(r["ref1"], len(r1m) - 1)]
+                lv["mv1x"], lv["mv1y"] = r["mv1x"], r["mv1y"]
+                lv["mlike"] = r["mlike"]
+            for (w, h) in classes:
+                if (w, h) not in iclasses:
+                    leaf[(w, h)]["cost"] = leaf[(w, h)]["icost"]
         else:
-            dec_mode[(x, y, w, h)] = tuple(
-                int(m) for m in lv["imode"][by, bx])
+            for lv in leaf.values():
+                lv["cost"] = lv["icost"]
 
-    def walk_bt(x, y, w, h, d, var=0):
-        sy, sx = strides[(w, h)]
-        ch = int(CH[var][d][(w, h)][y // sy, x // sx]) if d > 0 else NO
-        if ch == BH:
-            dec_split[(x, y, w, h)] = BH
-            walk_bt(x, y, w, h // 2, d - 1)
-            walk_bt(x, y + h // 2, w, h // 2, d - 1)
-        elif ch == BV:
-            dec_split[(x, y, w, h)] = BV
-            walk_bt(x, y, w // 2, h, d - 1)
-            walk_bt(x + w // 2, y, w // 2, h, d - 1)
-        elif ch == TH:
-            dec_split[(x, y, w, h)] = TH
-            q = h // 4
-            walk_bt(x, y, w, q, d - 1)
-            walk_bt(x, y + q, w, 2 * q, d - 1, 1)
-            walk_bt(x, y + 3 * q, w, q, d - 1)
-        elif ch == TV:
-            dec_split[(x, y, w, h)] = TV
-            q = w // 4
-            walk_bt(x, y, q, h, d - 1)
-            walk_bt(x + q, y, 2 * q, h, d - 1, 2)
-            walk_bt(x + 3 * q, y, q, h, d - 1)
-        else:
-            record_leaf(x, y, w, h)
+        # ---- DP over (geometry, MTT budget, parallel-TT variant)
+        # B[v][d][(w,h)]: best cost of a (w,h) node with d MTT splits left
+        # under variant v (0 unrestricted, 1 = BT_H banned at this node =
+        # TT_H middle child, 2 = BT_V banned). CH mirrors the choice.
+        geoset = set(geoms)
+        NVAR = 3
+        B = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
+        CH = [[dict() for _ in range(D + 1)] for _ in range(NVAR)]
 
-    def walk_q(x, y, s, forced=None):
-        do_qt = bool(QSPLIT[s][y // s, x // s]) if s > min_qt else False
-        if forced is not None:
-            # MLT-CNN root hint, reference class semantics
-            # (EncModeCtrl.cpp:122-138: the requested split only, with
-            # QT as the fallback when it is illegal)
-            if forced == 0:
-                record_leaf(x, y, s, s)
-                return
-            if forced in (2, 3) and D > 0:
-                rates = node_rates(s, s, D, 0)
-                want = BH if forced == 2 else BV
-                child = (s, s // 2) if want == BH else (s // 2, s)
-                if want in rates and child in geoset:
-                    dec_split[(x, y, s, s)] = want
-                    if want == BH:
-                        walk_bt(x, y, s, s // 2, D - 1)
-                        walk_bt(x, y + s // 2, s, s // 2, D - 1)
-                    else:
-                        walk_bt(x, y, s // 2, s, D - 1)
-                        walk_bt(x + s // 2, y, s // 2, s, D - 1)
-                    return
-            do_qt = s > min_qt         # forced == 1 or QT fallback
-        if do_qt:
-            dec_split[(x, y, s, s)] = QT
-            hs = s // 2
-            for (cx, cy) in ((x, y), (x + hs, y), (x, y + hs),
-                             (x + hs, y + hs)):
-                walk_q(cx, cy, hs)
-        else:
-            walk_bt(x, y, s, s, D)
+        def sub(arr, cc, ys_pos, xs_pos):
+            syc, sxc = strides[cc]
+            return arr[(ys_pos // syc)[:, None], (xs_pos // sxc)[None, :]]
 
-    # I-slice CTUs larger than 64 split implicitly (the intra TB limit)
-    force_root_qt = slice_type == hls.I_SLICE and cs > 64
-    for cy in range(H // cs):
-        for cx in range(W // cs):
-            forced = None
-            if split_hints is not None and split_hints[cy, cx] >= 0:
-                forced = int(split_hints[cy, cx])
-            if force_root_qt and forced in (None, 0, 2, 3):
-                dec_split[(cx * cs, cy * cs, cs, cs)] = QT
-                hs = cs // 2
-                for (qx, qy) in ((cx * cs, cy * cs),
-                                 (cx * cs + hs, cy * cs),
-                                 (cx * cs, cy * cs + hs),
-                                 (cx * cs + hs, cy * cs + hs)):
-                    walk_q(qx, qy, hs)
+        def node_rates(w, h, d, var):
+            mtt = D - d
+            last = QT if mtt == 0 else BH
+            qtd = max(0, (cs // max(w, h)).bit_length() - 1)
+            tmid = (partition.BT_H if var == 1
+                    else partition.BT_V if var == 2 else None)
+            return srate.costs(w, h, qtd, mtt, last, tmid)
+
+        TH, TV = partition.TT_H, partition.TT_V
+        for d in range(D + 1):
+            for (w, h) in geoms:
+                ys, xs = grids[(w, h)]
+                comp = {}
+                if d > 0:
+                    cc = (w, h // 2)
+                    if cc in geoset:
+                        ch = B[0][d - 1][cc]
+                        comp[BH] = (sub(ch, cc, ys, xs)
+                                    + sub(ch, cc, ys + h // 2, xs))
+                    cc = (w // 2, h)
+                    if cc in geoset:
+                        ch = B[0][d - 1][cc]
+                        comp[BV] = (sub(ch, cc, ys, xs)
+                                    + sub(ch, cc, ys, xs + w // 2))
+                    cf, cm = (w, h // 4), (w, h // 2)
+                    if cf in geoset and cm in geoset:
+                        f = B[0][d - 1][cf]
+                        m = B[1][d - 1][cm]
+                        comp[TH] = (sub(f, cf, ys, xs)
+                                    + sub(m, cm, ys + h // 4, xs)
+                                    + sub(f, cf, ys + 3 * (h // 4), xs))
+                    cf, cm = (w // 4, h), (w // 2, h)
+                    if cf in geoset and cm in geoset:
+                        f = B[0][d - 1][cf]
+                        m = B[2][d - 1][cm]
+                        comp[TV] = (sub(f, cf, ys, xs)
+                                    + sub(m, cm, ys, xs + w // 4)
+                                    + sub(f, cf, ys, xs + 3 * (w // 4)))
+                base = leaf[(w, h)]["cost"]
+                for var in range(NVAR):
+                    rates = node_rates(w, h, d, var)
+                    cost = base + lam_satd * rates.get(NO, 0.0)
+                    choice = np.zeros(cost.shape, np.int8)
+                    for sp in (BH, BV, TH, TV):
+                        if sp not in rates or sp not in comp:
+                            continue
+                        agg = comp[sp] + lam_satd * rates[sp]
+                        m = agg < cost
+                        choice = np.where(m, np.int8(sp), choice)
+                        cost = np.where(m, agg, cost)
+                    B[var][d][(w, h)] = cost
+                    CH[var][d][(w, h)] = choice
+
+        # QT levels: T[s] = min(MTT subtree at s, 4 x T[s/2] + qt rate),
+        # evaluated on the s-ALIGNED grid (QT nodes are never half-offset)
+        def aligned(arr, c, s):
+            sy, sx = strides[c]
+            ya = (np.arange(H // s) * s) // sy
+            xa = (np.arange(W // s) * s) // sx
+            return arr[ya[:, None], xa[None, :]]
+
+        T = {min_qt: aligned(B[0][D][(min_qt, min_qt)],
+                             (min_qt, min_qt), min_qt)}
+        QSPLIT = {}
+        for s in sorted(squares)[1:]:
+            child = T[s // 2]
+            nby, nbx = child.shape
+            rates = node_rates(s, s, D, 0)
+            agg = (child.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
+                   + lam_satd * rates.get(QT, 1.0))
+            leafbt = aligned(B[0][D][(s, s)], (s, s), s)
+            QSPLIT[s] = (agg < leafbt) & (QT in rates)
+            T[s] = np.where(QSPLIT[s], agg, leafbt)
+
+        # ---- decision walk
+        dec_split: dict = {}
+        dec_mode: dict = {}
+
+        def record_leaf(x, y, w, h):
+            dec_split[(x, y, w, h)] = NO
+            lv = leaf[(w, h)]
+            sy, sx = strides[(w, h)]
+            by, bx = y // sy, x // sx
+            if inter_slice and lv.get("inter") is not None \
+                    and lv["inter"][by, bx]:
+                dec_mode[(x, y, w, h)] = ("inter", {
+                    "dir": int(lv["dir"][by, bx]),
+                    "ref0": int(lv["ref0"][by, bx]),
+                    "mv0": (int(lv["mv0x"][by, bx]),
+                            int(lv["mv0y"][by, bx])),
+                    "ref1": int(lv["ref1"][by, bx]),
+                    "mv1": (int(lv["mv1x"][by, bx]),
+                            int(lv["mv1y"][by, bx])),
+                    "mlike": bool(lv["mlike"][by, bx])})
             else:
-                walk_q(cx * cs, cy * cs, cs, forced)
+                dec_mode[(x, y, w, h)] = tuple(
+                    int(m) for m in lv["imode"][by, bx])
 
-    level = {}
-    for sq in squares:
-        lv = leaf[(sq, sq)]
-        c = (sq, sq)
-        ent = {"imode": aligned(lv["imode"][..., 0], c, sq)}
-        if inter_slice and lv.get("inter") is not None:
-            for f in ("inter", "dir", "ref0", "mv0x", "mv0y",
-                      "ref1", "mv1x", "mv1y", "mlike"):
-                ent[f] = aligned(lv[f], c, sq)
-        level[sq] = ent
-    return FusedDecisions(dec_split, dec_mode, level)
+        def walk_bt(x, y, w, h, d, var=0):
+            sy, sx = strides[(w, h)]
+            ch = int(CH[var][d][(w, h)][y // sy, x // sx]) if d > 0 else NO
+            if ch == BH:
+                dec_split[(x, y, w, h)] = BH
+                walk_bt(x, y, w, h // 2, d - 1)
+                walk_bt(x, y + h // 2, w, h // 2, d - 1)
+            elif ch == BV:
+                dec_split[(x, y, w, h)] = BV
+                walk_bt(x, y, w // 2, h, d - 1)
+                walk_bt(x + w // 2, y, w // 2, h, d - 1)
+            elif ch == TH:
+                dec_split[(x, y, w, h)] = TH
+                q = h // 4
+                walk_bt(x, y, w, q, d - 1)
+                walk_bt(x, y + q, w, 2 * q, d - 1, 1)
+                walk_bt(x, y + 3 * q, w, q, d - 1)
+            elif ch == TV:
+                dec_split[(x, y, w, h)] = TV
+                q = w // 4
+                walk_bt(x, y, q, h, d - 1)
+                walk_bt(x + q, y, 2 * q, h, d - 1, 2)
+                walk_bt(x + 3 * q, y, q, h, d - 1)
+            else:
+                record_leaf(x, y, w, h)
+
+        def walk_q(x, y, s, forced=None):
+            do_qt = bool(QSPLIT[s][y // s, x // s]) if s > min_qt else False
+            if forced is not None:
+                # MLT-CNN root hint, reference class semantics
+                # (EncModeCtrl.cpp:122-138: the requested split only, with
+                # QT as the fallback when it is illegal)
+                if forced == 0:
+                    record_leaf(x, y, s, s)
+                    return
+                if forced in (2, 3) and D > 0:
+                    rates = node_rates(s, s, D, 0)
+                    want = BH if forced == 2 else BV
+                    child = (s, s // 2) if want == BH else (s // 2, s)
+                    if want in rates and child in geoset:
+                        dec_split[(x, y, s, s)] = want
+                        if want == BH:
+                            walk_bt(x, y, s, s // 2, D - 1)
+                            walk_bt(x, y + s // 2, s, s // 2, D - 1)
+                        else:
+                            walk_bt(x, y, s // 2, s, D - 1)
+                            walk_bt(x + s // 2, y, s // 2, s, D - 1)
+                        return
+                do_qt = s > min_qt         # forced == 1 or QT fallback
+            if do_qt:
+                dec_split[(x, y, s, s)] = QT
+                hs = s // 2
+                for (cx, cy) in ((x, y), (x + hs, y), (x, y + hs),
+                                 (x + hs, y + hs)):
+                    walk_q(cx, cy, hs)
+            else:
+                walk_bt(x, y, s, s, D)
+
+        # I-slice CTUs larger than 64 split implicitly (the intra TB limit)
+        force_root_qt = slice_type == hls.I_SLICE and cs > 64
+        for cy in range(H // cs):
+            for cx in range(W // cs):
+                forced = None
+                if split_hints is not None and split_hints[cy, cx] >= 0:
+                    forced = int(split_hints[cy, cx])
+                if force_root_qt and forced in (None, 0, 2, 3):
+                    dec_split[(cx * cs, cy * cs, cs, cs)] = QT
+                    hs = cs // 2
+                    for (qx, qy) in ((cx * cs, cy * cs),
+                                     (cx * cs + hs, cy * cs),
+                                     (cx * cs, cy * cs + hs),
+                                     (cx * cs + hs, cy * cs + hs)):
+                        walk_q(qx, qy, hs)
+                else:
+                    walk_q(cx * cs, cy * cs, cs, forced)
+
+        level = {}
+        for sq in squares:
+            lv = leaf[(sq, sq)]
+            c = (sq, sq)
+            ent = {"imode": aligned(lv["imode"][..., 0], c, sq)}
+            if inter_slice and lv.get("inter") is not None:
+                for f in ("inter", "dir", "ref0", "mv0x", "mv0y",
+                          "ref1", "mv1x", "mv1y", "mlike"):
+                    ent[f] = aligned(lv[f], c, sq)
+            level[sq] = ent
+        return FusedDecisions(dec_split, dec_mode, level)
+
+    return finish
+
+
+def search_frame(org: np.ndarray, cfg: hls.SeqConfig, qp: int,
+                 **kw) -> FusedDecisions:
+    """Synchronous whole-frame fused search (dispatch + fetch + DP).
+    See search_frame_async for the pipelined two-phase form."""
+    return search_frame_async(org, cfg, qp, **kw)()
+
