@@ -206,6 +206,15 @@ def _encode(args) -> int:
                 from .utils import bitacct
                 print(bitacct.format_report(fe.bit_accounting,
                                             total_bits))
+                dv = getattr(fe, "commit_div_total", None)
+                if dv and dv["leaves"]:
+                    pct = 100.0 * (dv["rewritten"] + dv["mode_flip"]) \
+                        / dv["leaves"]
+                    print(f"search->commit divergence: {pct:.2f}% of "
+                          f"{dv['leaves']} inter leaves (rewritten "
+                          f"{dv['rewritten']}, mode flips "
+                          f"{dv['mode_flip']}, merge re-screens "
+                          f"{dv['merge_rescreen']})")
             if args.blockstats:
                 from .utils import blockstats
                 blockstats.dump_sequence(args.blockstats, fe.maps_log,

@@ -570,6 +570,12 @@ class FrameEncoder:
             self.recon_cr = np.zeros((H // 2, W // 2), np.int32)
         self.maps = _Maps(W, H)
         self._dmvr_cache: dict = {}
+        # search-vs-commit divergence accounting (VERDICT r4 #7): when
+        # the committed mode differs from the fused-search decision the
+        # DP's costs were wrong for that leaf; the rate is surfaced in
+        # the "frame" trace event and cli --stats
+        self.commit_div = {"leaves": 0, "rewritten": 0,
+                           "merge_rescreen": 0, "mode_flip": 0}
         self.cu_log: dict = {}       # (x, y) -> (kind, trial) at commit
         # (x, y, w, h) -> split chosen at commit (decisions path); the
         # replay pass follows it to rebuild the exact tree
@@ -858,11 +864,20 @@ class FrameEncoder:
             d = (self.org - self.recon).astype(np.float64)
             psnr = 10 * np.log10(((1 << bd) - 1) ** 2
                                  / max(float((d * d).mean()), 1e-9))
+            dv = self.commit_div
             trace.event("frame", poc=poc,
                         slice=("I", "P", "B")[
                             {hls.I_SLICE: 0, hls.P_SLICE: 1,
                              hls.B_SLICE: 2}[slice_type]],
-                        qp=qp, bits=len(bs) * 8, psnr_y=round(psnr, 3))
+                        qp=qp, bits=len(bs) * 8, psnr_y=round(psnr, 3),
+                        commit_divergence_pct=round(
+                            100.0 * (dv["rewritten"] + dv["mode_flip"])
+                            / max(dv["leaves"], 1), 2),
+                        div=dict(dv))
+        if not hasattr(self, "commit_div_total"):
+            self.commit_div_total = {k: 0 for k in self.commit_div}
+        for k, v in self.commit_div.items():
+            self.commit_div_total[k] += v
         m = self.maps
         # temporal motion export sees the DMVR-refined field
         # (CS::setRefinedMotionField: +delta on L0, -delta on L1)
@@ -1966,12 +1981,17 @@ class FrameEncoder:
         r0, r1 = int(spec.get("ref0", 0)), int(spec.get("ref1", 0))
         mv0, mv1 = tuple(spec["mv0"]), tuple(spec["mv1"])
         # validate lists/refs against what this slice actually has
+        dv = self.commit_div
+        dv["leaves"] += 1
+        d_in, r0_in, r1_in = d, r0, r1
         if d & 2 and (not self.refs_l1 or r1 >= self.n_act1):
             d, r1 = 1, 0
         if d & 1 and r0 >= self.n_act0:
             d &= ~1
             if d == 0:      # no valid list left: ref0/zero-ish fallback
                 d, r0 = 1, 0
+        if (d, r0, r1) != (d_in, r0_in, r1_in):
+            dv["rewritten"] += 1
 
         merge_cands = inter.get_merge_candidates(
             self._mf(), self.hmvp, x, y, w, h, self.n_act0,
@@ -2022,6 +2042,11 @@ class FrameEncoder:
         use_merge = best_m is not None and (
             exact is not None
             or amvp_cost is None or best_m[0] <= amvp_cost)
+        mlike = bool(spec.get("mlike", False))
+        if mlike and exact is None:
+            dv["merge_rescreen"] += 1
+        if use_merge != mlike:
+            dv["mode_flip"] += 1
         if use_merge:
             if exact is not None:
                 best_m = (0.0, exact, merge_cands[exact])
@@ -2214,8 +2239,12 @@ class FrameEncoder:
                 else (forced_mode,)
             mpm = self._mpms(x, y, w, h)
             best = None
+            # luma-only candidate ranking (IntraSearch ranks luma RD
+            # before the chroma decision); chroma is evaluated ONCE
+            # for the winner below
             for m in dict.fromkeys(int(m) for m in cands):
-                trial = self._eval_intra_mode(x, y, w, h, blk, m)
+                trial = self._eval_intra_mode(x, y, w, h, blk, m,
+                                              luma_only=True)
                 bits = 7.0 if m not in mpm else 2.0 + mpm.index(m)
                 for tu in trial["tus"]:
                     q = tu.get("q")
@@ -2227,6 +2256,7 @@ class FrameEncoder:
                 if best is None or c < best[0]:
                     best = (c, trial)
             trial = best[1]
+            self._complete_intra_chroma(x, y, w, h, trial)
             self._write_leaf_intra(x, y, w, h, trial)
             self._commit_intra(x, y, w, h, qt_depth, trial)
             return trial["ssd"]
@@ -2562,7 +2592,7 @@ class FrameEncoder:
 
     # ------------------------------------------------------------------
     def _eval_intra_mode(self, x, y, w, h, blk, mode, pred=None,
-                         mrl=0):
+                         mrl=0, luma_only=False):
         tiles = _tu_tiles(w, h)
         if len(tiles) > 1:
             return self._eval_intra_multi_tu(x, y, w, h, mode, tiles)
@@ -2576,7 +2606,7 @@ class FrameEncoder:
                 xmax=self.wpp_xmax, sdh=self._sdh_active())
             return self._finish_intra_trial(x, y, w, h, mode, mrl, q,
                                             recon, cbf, mts_idx, ts,
-                                            ssd)
+                                            ssd, luma_only=luma_only)
         if pred is None:
             top, left = intra.build_refs_grid(self.recon, x, y, w, h,
                                               self.cfg.bit_depth,
@@ -2610,13 +2640,42 @@ class FrameEncoder:
                 q, recon, cbf, ts = q2, recon2, cbf2, True
         ssd = float(((blk - recon).astype(np.int64) ** 2).sum())
         return self._finish_intra_trial(x, y, w, h, mode, mrl, q,
-                                        recon, cbf, mts_idx, ts, ssd)
+                                        recon, cbf, mts_idx, ts, ssd,
+                                        luma_only=luma_only)
+
+    def _complete_intra_chroma(self, x, y, w, h, trial):
+        """Attach the chroma decision to a luma-only intra trial (the
+        decisions path ranks candidates luma-first and evaluates
+        chroma once for the winner)."""
+        if not self.chroma or len(trial["tus"]) != 1:
+            return
+        tu = trial["tus"][0]
+        if tu.get("chroma") is not None:
+            return
+        recon = tu["recon"]
+        if self.cfg.cclm:
+            save = self.recon[y:y + h, x:x + w].copy()
+            self.recon[y:y + h, x:x + w] = recon
+            ch, chroma_mode, jmask = self._best_chroma_intra(
+                x, y, w, h, trial["mode"])
+            self.recon[y:y + h, x:x + w] = save
+        else:
+            ch, chroma_mode, jmask = self._best_chroma_intra(
+                x, y, w, h, trial["mode"])
+        tu["chroma"] = ch
+        tu["joint_cbcr"] = jmask
+        trial["ssd"] += ch[0][3] + ch[1][3]
+        trial["chroma_mode"] = chroma_mode
 
     def _finish_intra_trial(self, x, y, w, h, mode, mrl, q, recon, cbf,
-                            mts_idx, ts, ssd):
+                            mts_idx, ts, ssd, luma_only=False):
         tu = {"x": x, "y": y, "w": w, "h": h, "q": q, "cbf": cbf,
               "recon": recon, "chroma": None, "ts": ts}
         chroma_mode = "dm"
+        if luma_only:
+            return {"mode": mode, "tus": [tu], "ssd": ssd,
+                    "mts_idx": mts_idx, "mrl": mrl,
+                    "chroma_mode": chroma_mode}
         if self.chroma:
             if self.cfg.cclm:
                 # CCLM reads the CURRENT CU's reconstructed luma (the

@@ -358,17 +358,29 @@ class RandomAccessEncoder:
             return None
         from . import fused_search
         luma = frm[0] if isinstance(frm, (tuple, list)) else frm
+        # l0/l1 may be a single FrameResult (+poc) or a list of
+        # (poc, FrameResult) pairs — multi-reference search
+        # (InterSearch.cpp:2245 per-refpic loop; the commit pass
+        # signals NumRefIdxActive = 2 per list)
+        def norm(ref, ref_poc):
+            if ref is None:
+                return []
+            if isinstance(ref, list):
+                return ref[:self.active_refs]
+            return [(ref_poc, ref)]
+        l0s, l1s = norm(l0, l0_poc), norm(l1, l1_poc)
         ref_planes, col_fields = [], []
-        if l0 is not None:
-            ref_planes.append((0, 0, l0.recon))
+        for ridx, (p2, res) in enumerate(l0s):
+            ref_planes.append((0, ridx, res.recon))
             col_fields.append(
-                self._col_candidates(l0, poc, l0_poc)
-                if l0_poc is not None else None)
-        if l1 is not None:
-            ref_planes.append((1, 0, l1.recon))
+                self._col_candidates(res, poc, p2)
+                if p2 is not None else None)
+        for ridx, (p2, res) in enumerate(l1s):
+            ref_planes.append((1, ridx, res.recon))
             col_fields.append(
-                self._col_candidates(l1, poc, l1_poc)
-                if l1_poc is not None else None)
+                self._col_candidates(res, poc, p2)
+                if p2 is not None else None)
+        l0 = l0s[0][1] if l0s else None
         hints = None
         if self.split_hints_fn is not None:
             pred_plane = None
@@ -398,25 +410,21 @@ class RandomAccessEncoder:
     # consecutive frames in coding order almost never reference each
     # other (4/31 dependent transitions at GOP 32 vs 16/31 depth-first)
     # and the device search of frame k+1 can run while the host commits
-    # frame k. 16 keeps the peak DPB at 11 (<= the VVC cap of 16);
-    # full interleave would need 18.
+    # frame k. 16 needs a peak DPB of ~11; _gop_coding_order degrades
+    # toward depth-first when the signalled max_dec_pic_buffering
+    # cannot hold that (the decoder would bump pictures early and
+    # reorder the output).
     INTERLEAVE = 16
 
-    def _gop_coding_order(self, lo: int, hi: int):
-        """[(poc, l0_poc, l1_poc, tid)] for the open interval (lo, hi).
-
-        Depth-first over the hierarchy, but sibling subtrees of
-        intervals <= INTERLEAVE are interleaved (a legal decode order:
-        within-subtree order is preserved, and every frame's references
-        are its interval endpoints, which precede the subtree)."""
-
+    @staticmethod
+    def _order_with_k(lo: int, hi: int, k: int):
         def rec(a, b, tid):
             if b - a < 2:
                 return []
             mid = (a + b) // 2
             left = rec(a, mid, tid + 1)
             right = rec(mid, b, tid + 1)
-            if b - a <= self.INTERLEAVE:
+            if b - a <= k:
                 merged = []
                 for i in range(max(len(left), len(right))):
                     if i < len(left):
@@ -428,6 +436,54 @@ class RandomAccessEncoder:
             return [(mid, a, b, tid)] + merged
 
         return rec(lo, hi, 1)
+
+    @staticmethod
+    def _required_dpb(order, lo: int, hi: int) -> tuple:
+        """(peak_reorder, peak_held) for this decode order.
+
+        peak_reorder: most decoded-but-unoutputtable pictures at any
+        point (output is contiguous in POC; if this exceeds the
+        signalled sps_max_num_reorder_pics the decoder's bumping
+        process outputs a picture out of display order).
+        peak_held: DPB occupancy (un-output or still referenced)."""
+        seq = [(hi, lo, lo)] + [(p, a, b) for (p, a, b, _t) in order]
+        decoded = {lo}
+        next_out = lo + 1
+        peak_held = 1
+        peak_blocked = 0
+        for i, (p, _a, _b) in enumerate(seq):
+            decoded.add(p)
+            while next_out in decoded:
+                next_out += 1
+            blocked = sum(1 for q in decoded if q >= next_out)
+            needed = {lo, hi} if i + 1 < len(seq) else set()
+            for (q, a2, b2) in seq[i + 1:]:
+                needed.update((a2, b2))
+            held = sum(1 for q in decoded
+                       if q >= next_out or q in needed)
+            peak_held = max(peak_held, held)
+            peak_blocked = max(peak_blocked, blocked)
+        return peak_blocked, peak_held
+
+    def _gop_coding_order(self, lo: int, hi: int):
+        """[(poc, l0_poc, l1_poc, tid)] for the open interval (lo, hi).
+
+        Depth-first over the hierarchy, but sibling subtrees of
+        intervals <= INTERLEAVE are interleaved (a legal decode order:
+        within-subtree order is preserved, and every frame's references
+        are its interval endpoints, which precede the subtree). The
+        interleave width degrades until the peak DPB occupancy fits
+        the signalled max_dec_pic_buffering."""
+        dpb = self.cfg.max_dec_pic_buffering
+        reorder = self.cfg.num_reorder_pics
+        k = self.INTERLEAVE
+        while k >= 2:
+            order = self._order_with_k(lo, hi, k)
+            blocked, held = self._required_dpb(order, lo, hi)
+            if blocked <= reorder and held <= dpb:
+                return order
+            k //= 2
+        return self._order_with_k(lo, hi, 0)
 
     def encode(self, frames: list, qp: int | None = None
                ) -> SequenceResult:
@@ -511,45 +567,64 @@ class RandomAccessEncoder:
                 self.search == "fused"
             pending: dict = {}      # poc -> finish closure
 
-            def dispatch_ahead(i):
-                outstanding = len(pending)
-                for j in range(i, min(i + 3, len(order))):
-                    if outstanding >= 2:
-                        break
-                    poc2, a2, b2, tid2 = order[j]
-                    if poc2 in pending or a2 not in done \
-                            or b2 not in done:
-                        continue
-                    pending[poc2] = self._decisions_async(
-                        frames[poc2], poc2, pic_qp(tid2), hls.B_SLICE,
-                        l0=done[a2], l1=done[b2], l0_poc=a2, l1_poc=b2)
-                    outstanding += 1
-
+            # exact per-frame RPLs, computed deterministically from the
+            # coding order alone (DPB retention: every picture still
+            # needed by later frames of this GOP + the anchor). The
+            # SEARCH sees the first active_refs entries of each list —
+            # precomputing here keeps pipelined dispatch and in-order
+            # encode bit-identical.
+            rpls = []
+            cum = set(done.keys())
             for i, (poc, l0, l1, tid) in enumerate(order):
-                # DPB retention: the RPL must list every picture still
-                # needed by later frames of this GOP (and the anchor for
-                # the next GOP), else the decoder drops it
                 needed = {anchor, l0, l1}
                 for (p2, a2, b2, _) in order[i + 1:]:
                     needed.update((a2, b2))
                 needed.discard(poc)
-                # only already-decoded pictures exist in the DPB
-                needed &= set(done.keys())
+                needed &= cum          # only already-decoded pictures
                 past = sorted((p for p in needed if p < poc),
                               reverse=True)
                 future = sorted(p for p in needed if p > poc)
                 # primary refs first (nearest past / nearest future)
                 assert past[0] == l0 and future[0] == l1, (poc, past,
                                                            future, l0, l1)
+                rpls.append((past, future))
+                cum.add(poc)
+
+            def search_refs(j):
+                past, future = rpls[j]
+                na = self.active_refs
+                return ([(p2, done[p2]) for p2 in past[:na]],
+                        [(p2, done[p2]) for p2 in future[:na]])
+
+            def dispatch_ahead(i):
+                outstanding = len(pending)
+                for j in range(i, min(i + 3, len(order))):
+                    if outstanding >= 2:
+                        break
+                    poc2, a2, b2, tid2 = order[j]
+                    past, future = rpls[j]
+                    na = self.active_refs
+                    if poc2 in pending or any(
+                            p not in done
+                            for p in past[:na] + future[:na]):
+                        continue
+                    s0, s1 = search_refs(j)
+                    pending[poc2] = self._decisions_async(
+                        frames[poc2], poc2, pic_qp(tid2), hls.B_SLICE,
+                        l0=s0, l1=s1)
+                    outstanding += 1
+
+            for i, (poc, l0, l1, tid) in enumerate(order):
+                past, future = rpls[i]
                 refs_l0 = [(p2, done[p2]) for p2 in past]
                 refs_l1 = [(p2, done[p2]) for p2 in future]
                 qb = self._rc_qp(pic_qp(tid), tid, False)
+                s0, s1 = search_refs(i)
                 if pipeline:
                     if poc not in pending:
                         pending[poc] = self._decisions_async(
                             frames[poc], poc, qb, hls.B_SLICE,
-                            l0=done[l0], l1=done[l1],
-                            l0_poc=l0, l1_poc=l1)
+                            l0=s0, l1=s1)
                     fin = pending.pop(poc)
                     # enqueue the lookahead BEFORE the blocking fetch +
                     # host commit of this frame
@@ -558,7 +633,7 @@ class RandomAccessEncoder:
                 else:
                     decisions = self._decisions(
                         frames[poc], poc, qb, hls.B_SLICE,
-                        l0=done[l0], l1=done[l1], l0_poc=l0, l1_poc=l1)
+                        l0=s0, l1=s1)
                 r = self.frame_encoder.encode_frame(
                     frames[poc], poc=poc, qp=qb,
                     slice_type=hls.B_SLICE,

