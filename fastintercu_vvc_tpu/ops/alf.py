@@ -326,25 +326,16 @@ def collect_stats(org: np.ndarray, recon: np.ndarray, cls, tr,
     e = (org.astype(np.int64) - recon).ravel().astype(np.float64)
     Dp = np.take_along_axis(D.transpose(1, 2, 0), inv,
                             axis=2).reshape(-1, 12).astype(np.float64)
-    # one stable sort + segmented reduction replaces the 79 per-column
-    # bincounts of the naive form (~3x on the RA commit pass)
-    order = np.argsort(gid, kind="stable")
-    gs = gid[order]
-    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
-    seg_ids = gs[starts]
-    Dq = Dp[order]
-    eq = e[order]
-    jj, kk = np.triu_indices(12)
-    y = np.zeros((ngroups, 12))
-    pix = np.zeros(ngroups)
-    Eflat = np.zeros((ngroups, len(jj)))
-    y[seg_ids] = np.add.reduceat(Dq * eq[:, None], starts, axis=0)
-    pix[seg_ids] = np.add.reduceat(eq * eq, starts)
-    Eflat[seg_ids] = np.add.reduceat(Dq[:, jj] * Dq[:, kk], starts,
-                                     axis=0)
     E = np.zeros((ngroups, 12, 12))
-    E[:, jj, kk] = Eflat
-    E[:, kk, jj] = Eflat
+    y = np.zeros((ngroups, 12))
+    for j in range(12):
+        y[:, j] = np.bincount(gid, Dp[:, j] * e, minlength=ngroups)
+        for k in range(j, 12):
+            v = np.bincount(gid, Dp[:, j] * Dp[:, k],
+                            minlength=ngroups)
+            E[:, j, k] = v
+            E[:, k, j] = v
+    pix = np.bincount(gid, e * e, minlength=ngroups)
     return (E.reshape(nry, nrx, NUM_CLASSES, 12, 12),
             y.reshape(nry, nrx, NUM_CLASSES, 12),
             pix.reshape(nry, nrx, NUM_CLASSES))
